@@ -1,0 +1,1 @@
+from c_orb_slam_tpu.geometry import so3, se3, sim3, camera, triangulate  # noqa: F401
