@@ -1,0 +1,63 @@
+"""Intensity-centroid keypoint orientation, batched over keypoints.
+
+Reference: src/ORBextractor.cc:77-104 IC_Angle walks a circular patch of
+radius 15 row by row with the precomputed u_max table
+(ORBextractor.cc:452-469). Here the circular mask is a static (31, 31)
+weight array and all keypoints are processed as one gathered patch batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=4)
+def circular_mask(half_patch: int = 15) -> np.ndarray:
+    """(P, P) {0,1} mask of the radius-`half_patch` disc, P = 2*hp+1.
+
+    Matches the reference's u_max rasterization: column extent
+    round(sqrt(r^2 - row^2)) per row (ORBextractor.cc:455-457).
+    """
+    size = 2 * half_patch + 1
+    ys, xs = np.mgrid[-half_patch : half_patch + 1, -half_patch : half_patch + 1]
+    umax = np.round(
+        np.sqrt(np.maximum(half_patch * half_patch - ys * ys, 0.0))
+    )
+    return (np.abs(xs) <= umax).astype(np.float32)
+
+
+def gather_patches(
+    image: jnp.ndarray, yx: jnp.ndarray, half: int
+) -> jnp.ndarray:
+    """Gather (2*half+1)^2 patches centered at integer coords yx (N, 2).
+
+    Coordinates are clamped so out-of-range keypoints (masked-out slots)
+    still produce valid gathers.
+    """
+    size = 2 * half + 1
+    h, w = image.shape
+    y0 = jnp.clip(yx[:, 0] - half, 0, h - size)
+    x0 = jnp.clip(yx[:, 1] - half, 0, w - size)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(image, (y, x), (size, size))
+
+    return jax.vmap(one)(y0, x0)
+
+
+def ic_angle(
+    image: jnp.ndarray, yx: jnp.ndarray, half_patch: int = 15
+) -> jnp.ndarray:
+    """Orientation in radians for keypoints at integer coords yx (N, 2)."""
+    patches = gather_patches(image, yx, half_patch)  # (N, P, P)
+    mask = jnp.asarray(circular_mask(half_patch))
+    coords = jnp.arange(-half_patch, half_patch + 1, dtype=jnp.float32)
+    wx = mask * coords[None, :]  # x-moment weights
+    wy = mask * coords[:, None]  # y-moment weights
+    m10 = jnp.sum(patches * wx[None], axis=(1, 2))
+    m01 = jnp.sum(patches * wy[None], axis=(1, 2))
+    return jnp.arctan2(m01, m10)
