@@ -1,0 +1,298 @@
+"""Bundle adjustment: LM with implicit Schur-complement PCG.
+
+Replaces g2o's BlockSolver machinery (reference:
+Thirdparty/g2o/g2o/core/block_solver.hpp — buildStructure :143,
+buildSystem :502, Schur solve via _Hschur/_DInvSchur :354-447, used by
+Optimizer::BundleAdjustment / LocalBundleAdjustment, src/Optimizer.cc:49,453).
+
+TPU-native design (SURVEY.md §7.1): the bipartite camera-point graph is a
+flat observation list (obs_cam, obs_pt index arrays). One LM iteration is:
+
+  vmapped residuals/Jacobians  ->  segment-sum Hcc/Hpp/g  ->
+  PCG on the *implicit* Schur system S dc = rhs  ->  back-substitute dp
+
+The Schur matvec S·x = Hcc·x − W·Hpp⁻¹·Wᵀ·x never materializes S or W:
+it is two gathers + two segment-sums per application — exactly the shape
+that scales to sharded observation arrays with psum (parallel/dba.py).
+Fixed cameras (the reference's frontier keyframes, Optimizer.cc:489-504)
+are handled by zeroing their Jacobians. All shapes static; invalid slots
+masked. The LM loop is a lax.scan with accept/reject damping control.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from c_orb_slam_tpu.geometry import se3
+from c_orb_slam_tpu.optim import residuals as res
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape bundle-adjustment problem (SoA)."""
+
+    cam_T: jnp.ndarray  # (C, 3, 4) world->cam poses
+    cam_fixed: jnp.ndarray  # (C,) bool: pose held constant
+    cam_valid: jnp.ndarray  # (C,) bool: slot live
+    points: jnp.ndarray  # (P, 3)
+    point_valid: jnp.ndarray  # (P,) bool
+    obs_cam: jnp.ndarray  # (O,) int32
+    obs_pt: jnp.ndarray  # (O,) int32
+    obs_uv: jnp.ndarray  # (O, 3) (u, v, ur); ur ignored for mono rows
+    obs_stereo: jnp.ndarray  # (O,) bool
+    obs_inv_sigma2: jnp.ndarray  # (O,)
+    obs_valid: jnp.ndarray  # (O,) bool
+    K: jnp.ndarray  # (4,)
+    bf: jnp.ndarray  # () float
+
+
+class BAResult(NamedTuple):
+    cam_T: jnp.ndarray
+    points: jnp.ndarray
+    obs_inlier: jnp.ndarray  # (O,) bool post-optimization gate
+    final_chi2: jnp.ndarray  # () mean inlier chi2
+
+
+def _obs_terms(p: BAProblem, cam_T, points, use_huber, chi2_mono, chi2_stereo):
+    """Residuals, Jacobians, IRLS weights for every observation."""
+    T = cam_T[p.obs_cam]  # (O, 3, 4)
+    xw = points[p.obs_pt]  # (O, 3)
+    r, Jc, Jp = res.residual_and_jacobians(
+        T, xw, p.obs_uv, p.K, p.bf, p.obs_stereo
+    )
+    c2 = res.chi2(r, p.obs_inv_sigma2)
+    chi2_th = jnp.where(p.obs_stereo, chi2_stereo, chi2_mono)
+    w = p.obs_inv_sigma2 * p.obs_valid.astype(r.dtype)
+    if use_huber:
+        w = w * res.huber_weight(c2, chi2_th)
+    # Behind-camera points poison the linearization: drop them this iter.
+    z = se3.apply(T, xw)[..., 2]
+    w = w * (z > 1e-3).astype(r.dtype)
+    # Fixed cameras contribute no pose Jacobian.
+    Jc = Jc * (1.0 - p.cam_fixed[p.obs_cam].astype(r.dtype))[:, None, None]
+    return r, Jc, Jp, w, c2
+
+
+def _assemble(p: BAProblem, r, Jc, Jp, w, lm_lambda):
+    C = p.cam_T.shape[0]
+    P = p.points.shape[0]
+    Hcc = jnp.zeros((C, 6, 6), r.dtype).at[p.obs_cam].add(
+        jnp.einsum("nij,nik,n->njk", Jc, Jc, w)
+    )
+    Hpp = jnp.zeros((P, 3, 3), r.dtype).at[p.obs_pt].add(
+        jnp.einsum("nij,nik,n->njk", Jp, Jp, w)
+    )
+    gc = jnp.zeros((C, 6), r.dtype).at[p.obs_cam].add(
+        jnp.einsum("nij,ni,n->nj", Jc, r, w)
+    )
+    gp = jnp.zeros((P, 3), r.dtype).at[p.obs_pt].add(
+        jnp.einsum("nij,ni,n->nj", Jp, r, w)
+    )
+    eye6 = jnp.eye(6, dtype=r.dtype)
+    eye3 = jnp.eye(3, dtype=r.dtype)
+    # LM damping; dead camera/point slots get identity so inverses exist.
+    free_cam = (p.cam_valid & ~p.cam_fixed).astype(r.dtype)[:, None, None]
+    Hcc = Hcc + lm_lambda * eye6 + (1.0 - free_cam) * eye6
+    live_pt = p.point_valid.astype(r.dtype)[:, None, None]
+    Hpp = Hpp + lm_lambda * eye3 + (1.0 - live_pt) * eye3
+    Hpp_inv = jnp.linalg.inv(Hpp)
+    return Hcc, Hpp_inv, gc, gp
+
+
+def _schur_matvec(p: BAProblem, Jc, Jp, w, Hcc, Hpp_inv, x, free_cam_mask):
+    """S @ x without materializing S. x: (C, 6)."""
+    x = x * free_cam_mask[:, None]
+    hx = jnp.einsum("cij,cj->ci", Hcc, x)
+    u = jnp.einsum("nij,nj->ni", Jc, x[p.obs_cam]) * w[:, None]  # (O, 3)
+    v = jnp.zeros_like(Hpp_inv[:, :, 0]).at[p.obs_pt].add(
+        jnp.einsum("nij,ni->nj", Jp, u)
+    )  # (P, 3) = Wᵀ x
+    y = jnp.einsum("pij,pj->pi", Hpp_inv, v)
+    s = jnp.einsum("nij,nj->ni", Jp, y[p.obs_pt]) * w[:, None]  # (O, 3)
+    z = jnp.zeros_like(x).at[p.obs_cam].add(
+        jnp.einsum("nij,ni->nj", Jc, s)
+    )  # (C, 6) = W y
+    return (hx - z) * free_cam_mask[:, None]
+
+
+def _pcg(matvec, precond, b, iters):
+    """Fixed-iteration preconditioned conjugate gradients."""
+    x = jnp.zeros_like(b)
+    r = b
+    z = precond(r)
+    d = z
+    rz = jnp.sum(r * z)
+
+    def body(state, _):
+        x, r, d, rz = state
+        Ad = matvec(d)
+        dAd = jnp.sum(d * Ad)
+        alpha = rz / jnp.maximum(dAd, 1e-20)
+        x = x + alpha * d
+        r = r - alpha * Ad
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        d = z + beta * d
+        return (x, r, d, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, d, rz), None, length=iters)
+    return x
+
+
+def ba_iteration(
+    p: BAProblem,
+    lm_lambda,
+    use_huber: bool,
+    chi2_mono: float,
+    chi2_stereo: float,
+    pcg_iters: int,
+):
+    """One damped GN step. Returns (new_cam_T, new_points, total_error)."""
+    r, Jc, Jp, w, c2 = _obs_terms(
+        p, p.cam_T, p.points, use_huber, chi2_mono, chi2_stereo
+    )
+    Hcc, Hpp_inv, gc, gp = _assemble(p, r, Jc, Jp, w, lm_lambda)
+    free_cam = (p.cam_valid & ~p.cam_fixed).astype(r.dtype)
+
+    # Schur RHS: -(gc - W Hpp^{-1} gp)
+    y = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+    s = jnp.einsum("nij,nj->ni", Jp, y[p.obs_pt]) * w[:, None]
+    Wy = jnp.zeros_like(gc).at[p.obs_cam].add(jnp.einsum("nij,ni->nj", Jc, s))
+    rhs = -(gc - Wy) * free_cam[:, None]
+
+    Hcc_inv = jnp.linalg.inv(Hcc)
+
+    def matvec(x):
+        return _schur_matvec(p, Jc, Jp, w, Hcc, Hpp_inv, x, free_cam)
+
+    def precond(x):
+        return jnp.einsum("cij,cj->ci", Hcc_inv, x) * free_cam[:, None]
+
+    dc = _pcg(matvec, precond, rhs, pcg_iters)  # (C, 6)
+
+    # Back-substitute point updates: dp = Hpp^{-1} (-gp - Wᵀ dc)
+    u = jnp.einsum("nij,nj->ni", Jc, dc[p.obs_cam]) * w[:, None]
+    Wt_dc = jnp.zeros_like(gp).at[p.obs_pt].add(
+        jnp.einsum("nij,ni->nj", Jp, u)
+    )
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, -gp - Wt_dc)
+    dp = dp * p.point_valid.astype(dp.dtype)[:, None]
+
+    new_T = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dc, p.cam_T)
+    new_T = jnp.where(free_cam[:, None, None] > 0, new_T, p.cam_T)
+    new_pts = p.points + dp
+    return new_T, new_pts, dc, dp
+
+
+def _total_error(p, cam_T, points, use_huber, chi2_mono, chi2_stereo):
+    r, _, _, w, c2 = _obs_terms(
+        p, cam_T, points, use_huber, chi2_mono, chi2_stereo
+    )
+    chi2_th = jnp.where(p.obs_stereo, chi2_stereo, chi2_mono)
+    mask = p.obs_valid.astype(r.dtype)
+    # Huber-robustified total (rho(chi2)), like g2o's activeRobustChi2.
+    robust = jnp.where(
+        c2 <= chi2_th,
+        c2,
+        2.0 * jnp.sqrt(chi2_th) * jnp.sqrt(jnp.maximum(c2, 1e-12)) - chi2_th,
+    )
+    return jnp.sum((robust if use_huber else c2) * mask)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "use_huber", "chi2_mono", "chi2_stereo", "pcg_iters"
+    ),
+)
+def optimize(
+    p: BAProblem,
+    iters: int = 10,
+    use_huber: bool = True,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    pcg_iters: int = 40,
+    lm_lambda0: float = 1e-4,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """LM loop with accept/reject damping. Returns (cam_T, points)."""
+
+    def body(state, _):
+        cam_T, points, lam, err = state
+        p_cur = p._replace(cam_T=cam_T, points=points)
+        new_T, new_pts, _, _ = ba_iteration(
+            p_cur, lam, use_huber, chi2_mono, chi2_stereo, pcg_iters
+        )
+        new_err = _total_error(
+            p, new_T, new_pts, use_huber, chi2_mono, chi2_stereo
+        )
+        accept = new_err < err
+        cam_T = jnp.where(accept, new_T, cam_T)
+        points = jnp.where(accept, new_pts, points)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        err = jnp.where(accept, new_err, err)
+        return (cam_T, points, lam, err), None
+
+    err0 = _total_error(
+        p, p.cam_T, p.points, use_huber, chi2_mono, chi2_stereo
+    )
+    (cam_T, points, _, _), _ = jax.lax.scan(
+        body,
+        (p.cam_T, p.points, jnp.asarray(lm_lambda0, jnp.float32), err0),
+        None,
+        length=iters,
+    )
+    return cam_T, points
+
+
+def classify_inliers(
+    p: BAProblem, chi2_mono: float = 5.991, chi2_stereo: float = 7.815
+) -> jnp.ndarray:
+    """Post-optimization observation gate: chi2 within threshold AND
+    positive depth (reference: Optimizer.cc:676-705 outlier erase)."""
+    T = p.cam_T[p.obs_cam]
+    xw = p.points[p.obs_pt]
+    r, _, _ = res.residual_and_jacobians(
+        T, xw, p.obs_uv, p.K, p.bf, p.obs_stereo
+    )
+    c2 = res.chi2(r, p.obs_inv_sigma2)
+    chi2_th = jnp.where(p.obs_stereo, chi2_stereo, chi2_mono)
+    z = se3.apply(T, xw)[..., 2]
+    return p.obs_valid & (c2 <= chi2_th) & (z > 0)
+
+
+def bundle_adjust(
+    p: BAProblem,
+    iters_first: int = 5,
+    iters_second: int = 10,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    pcg_iters: int = 40,
+) -> BAResult:
+    """Two-stage BA with outlier re-classification between stages
+    (reference: Optimizer.cc:659-709 LocalBundleAdjustment flow)."""
+    cam_T, points = optimize(
+        p, iters=iters_first, use_huber=True,
+        chi2_mono=chi2_mono, chi2_stereo=chi2_stereo, pcg_iters=pcg_iters,
+    )
+    p = p._replace(cam_T=cam_T, points=points)
+    inlier = classify_inliers(p, chi2_mono, chi2_stereo)
+    p = p._replace(obs_valid=inlier)
+    cam_T, points = optimize(
+        p, iters=iters_second, use_huber=False,
+        chi2_mono=chi2_mono, chi2_stereo=chi2_stereo, pcg_iters=pcg_iters,
+    )
+    p = p._replace(cam_T=cam_T, points=points)
+    inlier = classify_inliers(p, chi2_mono, chi2_stereo)
+
+    T = cam_T[p.obs_cam]
+    r, _, _ = res.residual_and_jacobians(
+        T, points[p.obs_pt], p.obs_uv, p.K, p.bf, p.obs_stereo
+    )
+    c2 = res.chi2(r, p.obs_inv_sigma2)
+    n = jnp.maximum(jnp.sum(inlier.astype(jnp.float32)), 1.0)
+    mean_chi2 = jnp.sum(jnp.where(inlier, c2, 0.0)) / n
+    return BAResult(cam_T=cam_T, points=points, obs_inlier=inlier, final_chi2=mean_chi2)
