@@ -140,6 +140,13 @@ class TrackingConfig:
     # Tracking.cc:989-990).
     max_frames_between_kf: int = 30
     min_frames_between_kf: int = 0
+    # Rotation part of the constant-velocity prediction, in [0, 1].
+    # 0 (default) = translation-only prediction. The reference extrapolates
+    # full rotation (Tracking.cc:875); observed failure mode here: an
+    # extrapolated rotation error re-centers the projection search window
+    # onto aliased texture, the matcher locks in, and the error compounds
+    # ~1.5x per frame until loss. Damping to 0 held rotation error flat.
+    velocity_rotation_fraction: float = 0.0
     # Monocular init: min matches to attempt (reference: Tracking.cc:589,605).
     min_init_matches: int = 100
     # Stereo init: min close points (reference: Tracking.cc:511).
@@ -237,6 +244,13 @@ class CapacityConfig:
     ransac_init_iters: int = 256
     ransac_pnp_iters: int = 256
     ransac_sim3_iters: int = 256
+    # Local-BA problem capacities (static shapes for the jitted solver).
+    local_ba_max_kfs: int = 32
+    local_ba_max_points: int = 8192
+    local_ba_max_obs: int = 16384
+    # Local tracked map capacity (reference caps local KFs at 80,
+    # Tracking.cc:1285; points capped here for static shapes).
+    local_map_max_points: int = 8192
 
 
 @dataclass(frozen=True)

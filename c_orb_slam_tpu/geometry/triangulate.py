@@ -43,8 +43,11 @@ def triangulate_dlt(
                 u2[1] * P2[2] - P2[1],
             ]
         )
-        _, V = jnp.linalg.eigh(A.T @ A)
-        X = V[:, 0]
+        # Row-normalize + direct SVD: eigh(AᵀA) squares the condition
+        # number, which in f32 visibly biases small-parallax points.
+        A = A / jnp.maximum(jnp.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        _, _, Vt = jnp.linalg.svd(A)
+        X = Vt[3]
         return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
 
     return jax.vmap(one)(uv1, uv2)

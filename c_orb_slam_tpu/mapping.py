@@ -1,0 +1,503 @@
+"""Local mapping: point culling, triangulation, fusion, local BA, KF culling.
+
+Reference: src/LocalMapping.cc — a persistent thread consuming a keyframe
+queue (Run :47-112): ProcessNewKeyFrame (:128), MapPointCulling (:170),
+CreateNewMapPoints (:207, epipolar search + SVD triangulation + 6 gates),
+SearchInNeighbors fusion (:454), Optimizer::LocalBundleAdjustment (:81),
+KeyFrameCulling (:632).
+
+TPU-native: a stage invoked by the host loop after each keyframe insertion
+(SURVEY.md §2.3: stages instead of threads; "abort BA" becomes a bounded
+iteration budget). Triangulation candidates for each neighbor pair are
+matched with one epipolar-masked Hamming matrix and triangulated in one
+vmapped pass; local BA assembles a fixed-capacity BAProblem and runs the
+implicit-Schur PCG solver.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c_orb_slam_tpu.config import SlamConfig, Sensor
+from c_orb_slam_tpu.geometry import camera, se3, triangulate
+from c_orb_slam_tpu.ops import match
+from c_orb_slam_tpu.optim import ba
+from c_orb_slam_tpu.slam_map.mapstate import MapState
+
+import os
+
+_DEBUG = bool(os.environ.get("SLAM_DEBUG"))
+
+
+def _dbg(*args):
+    if _DEBUG:
+        print("[map]", *args)
+
+
+def _fundamental_from_poses(T1, T2, K):
+    """F12 such that x2ᵀ F12 x1 = 0 (reference: LocalMapping.cc:536-553
+    ComputeF12 — here x1 in image of KF1, x2 in image of KF2)."""
+    T12 = se3.compose(jnp.asarray(T2), se3.inverse(jnp.asarray(T1)))
+    R = se3.rotation(T12)
+    t = se3.translation(T12)
+    tx = jnp.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]], jnp.float32
+    )
+    Km = jnp.array(
+        [[K[0], 0, K[2]], [0, K[1], K[3]], [0, 0, 1]], jnp.float32
+    )
+    Kinv = jnp.linalg.inv(Km)
+    return Kinv.T @ tx @ R @ Kinv
+
+
+class LocalMapping:
+    def __init__(self, cfg: SlamConfig, mapstate: MapState):
+        self.cfg = cfg
+        self.map = mapstate
+        self.recent_points: list[tuple[int, int]] = []  # (pt, born_kf)
+        self.K = camera.intrinsics_array(cfg.camera)
+        self.sigma2 = np.asarray(cfg.orb.level_sigma2(), np.float32)
+        self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf: int):
+        """Full mapping pass for one new keyframe (reference Run loop
+        order, LocalMapping.cc:62-87)."""
+        n0 = int(self.map.pt_valid.sum())
+        self._cull_recent_points(kf)
+        n1 = int(self.map.pt_valid.sum())
+        self._create_new_points(kf)
+        n2 = int(self.map.pt_valid.sum())
+        self._fuse_neighbors(kf)
+        n3 = int(self.map.pt_valid.sum())
+        if len(self.map.live_keyframes()) > 2:
+            self._local_ba(kf)
+        n4 = int(self.map.pt_valid.sum())
+        self._cull_keyframes(kf)
+        n5 = int(self.map.pt_valid.sum())
+        _dbg(f"pts: start={n0} cull:{n1-n0:+d} tri:{n2-n1:+d} fuse:{n3-n2:+d} ba:{n4-n3:+d} kfcull:{n5-n4:+d}")
+        self.map.big_change_idx += 1
+
+    # ------------------------------------------------------------------
+    def _cull_recent_points(self, kf: int):
+        """Found-ratio and observation-count gates (reference:
+        LocalMapping.cc:170-205)."""
+        keep = []
+        for pt, born in self.recent_points:
+            if not self.map.pt_valid[pt]:
+                continue
+            age = kf - born
+            found_ratio = self.map.pt_found[pt] / max(self.map.pt_visible[pt], 1)
+            min_obs = 2 if self.cfg.sensor == Sensor.MONOCULAR else 3
+            if found_ratio < self.cfg.mapping.min_found_ratio:
+                self.map.erase_point(pt)
+            elif age >= 2 and self.map.pt_n_obs[pt] <= min_obs:
+                self.map.erase_point(pt)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append((pt, born))
+        self.recent_points = keep
+
+    # ------------------------------------------------------------------
+    def _create_new_points(self, kf: int):
+        """Triangulate unmatched keypoints against covisible neighbors
+        (reference: LocalMapping.cc:207-452)."""
+        n_neigh = (
+            self.cfg.mapping.triangulation_neighbors_mono
+            if self.cfg.sensor == Sensor.MONOCULAR
+            else self.cfg.mapping.triangulation_neighbors_stereo
+        )
+        neighbors = self.map.covisible_keyframes(kf, n=n_neigh, min_weight=1)
+        T1 = self.map.kf_pose[kf]
+        c1 = self.map.keyframe_center(kf)
+        med_depth = self._median_depth(kf)
+
+        for k2 in neighbors:
+            c2 = self.map.keyframe_center(k2)
+            baseline = float(np.linalg.norm(c2 - c1))
+            if self.cfg.sensor == Sensor.MONOCULAR:
+                # Require baseline/scene-depth ratio (reference :246-254).
+                if med_depth > 0 and baseline / med_depth < 0.01:
+                    continue
+            else:
+                if baseline < self.cfg.camera.baseline:
+                    continue
+            self._triangulate_pair(kf, k2)
+
+    def _median_depth(self, kf: int) -> float:
+        mp = self.map.kf_mp[kf]
+        pts = mp[mp >= 0]
+        if len(pts) == 0:
+            return -1.0
+        T = self.map.kf_pose[kf]
+        z = self.map.pt_xyz[pts] @ T[2, :3] + T[2, 3]
+        return float(np.median(z))
+
+    def _triangulate_pair(self, k1: int, k2: int):
+        mp = self.map
+        cfg = self.cfg
+        free1 = mp.kf_kp_valid[k1] & (mp.kf_mp[k1] < 0)
+        free2 = mp.kf_kp_valid[k2] & (mp.kf_mp[k2] < 0)
+        if free1.sum() < 5 or free2.sum() < 5:
+            return
+        T1, T2 = mp.kf_pose[k1], mp.kf_pose[k2]
+        F12 = _fundamental_from_poses(T1, T2, self.K)
+        emask = match.epipolar_mask(
+            F12,
+            jnp.asarray(mp.kf_xy[k1]),
+            jnp.asarray(mp.kf_xy[k2]),
+            jnp.asarray(self.sigma2),
+            jnp.asarray(mp.kf_octave[k2]),
+        )
+        oct_ok = (
+            jnp.abs(
+                jnp.asarray(mp.kf_octave[k1])[:, None]
+                - jnp.asarray(mp.kf_octave[k2])[None, :]
+            )
+            <= 1
+        )
+        m = match.match(
+            jnp.asarray(mp.kf_desc[k1]),
+            jnp.asarray(mp.kf_desc[k2]),
+            jnp.asarray(free1),
+            jnp.asarray(free2),
+            pair_mask=emask & oct_ok,
+            max_dist=cfg.matcher.th_low,
+            nn_ratio=cfg.matcher.nn_ratio_mapping,
+        )
+        ok = np.asarray(m.valid)
+        if ok.sum() == 0:
+            return
+        idx2 = np.asarray(m.idx)
+
+        uv1 = jnp.asarray(mp.kf_xy[k1])
+        uv2 = jnp.asarray(mp.kf_xy[k2][idx2])
+        xw, cos_par = triangulate.triangulate_rays(
+            uv1, uv2, jnp.asarray(T1), jnp.asarray(T2), self.K, self.K
+        )
+        z1 = triangulate.depth_in(jnp.asarray(T1), xw)
+        z2 = triangulate.depth_in(jnp.asarray(T2), xw)
+
+        # Reprojection gates at 5.991 * sigma2 (reference :363-393).
+        def reproj_err(T, uv):
+            xc = se3.apply(jnp.asarray(T), xw)
+            pr = camera.project(xc, self.K)
+            return jnp.sum((pr - uv) ** 2, axis=1)
+
+        e1 = reproj_err(T1, uv1)
+        e2 = reproj_err(T2, uv2)
+        s1 = jnp.asarray(self.sigma2)[mp.kf_octave[k1]]
+        s2 = jnp.asarray(self.sigma2)[mp.kf_octave[k2][idx2]]
+
+        # Parallax gate: the reference accepts >1.15 deg (cos<0.9998,
+        # LocalMapping.cc:299-320); our corner noise floor is higher than
+        # OpenCV-FAST-on-real-texture, and points born near the gate
+        # amplify inter-KF pose error by depth/baseline — require ~2 deg.
+        good = (
+            ok
+            & np.asarray(cos_par < 0.99939)
+            & np.asarray((z1 > 0) & (z2 > 0))
+            & np.asarray((e1 < 5.991 * s1) & (e2 < 5.991 * s2))
+        )
+        _dbg(
+            f"tri pair ({k1},{k2}): free=({int(free1.sum())},{int(free2.sum())})"
+            f" matches={int(ok.sum())}"
+            f" par={int((ok & np.asarray(cos_par < 0.9998)).sum())}"
+            f" depth={int((ok & np.asarray((z1 > 0) & (z2 > 0))).sum())}"
+            f" reproj={int((ok & np.asarray((e1 < 5.991 * s1) & (e2 < 5.991 * s2))).sum())}"
+            f" good={int(good.sum())}"
+        )
+        # Scale-consistency gate (reference :395-431): distance ratio vs
+        # octave scale ratio within 1.5 * ratioFactor.
+        c1 = mp.keyframe_center(k1)
+        c2c = mp.keyframe_center(k2)
+        xw_np = np.asarray(xw)
+        d1 = np.linalg.norm(xw_np - c1, axis=1)
+        d2 = np.linalg.norm(xw_np - c2c, axis=1)
+        sf = cfg.orb.scale_factor
+        ratio_dist = d2 / np.maximum(d1, 1e-9)
+        ratio_oct = (
+            sf ** (mp.kf_octave[k1].astype(np.float32))
+            / sf ** (mp.kf_octave[k2][idx2].astype(np.float32))
+        )
+        rf = 1.5 * sf
+        good &= (ratio_dist * rf > ratio_oct) & (ratio_dist < ratio_oct * rf)
+
+        for i in np.nonzero(good)[0]:
+            p = mp.add_point(xw_np[i], mp.kf_desc[k1][i], k1)
+            mp.add_observation(p, k1, int(i))
+            mp.add_observation(p, k2, int(idx2[i]))
+            mp.update_point_descriptor_and_normal(p)
+            self.recent_points.append((p, k1))
+        if good.sum():
+            mp.update_connections(k1)
+            mp.update_connections(k2)
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, kf: int):
+        """Two-way duplicate fusion with first/second-order neighbors
+        (reference: LocalMapping.cc:454-534 SearchInNeighbors)."""
+        neighbors = self.map.covisible_keyframes(kf, n=10, min_weight=15)
+        ring = set(neighbors)
+        for k in list(neighbors)[:5]:
+            for k2 in self.map.covisible_keyframes(k, n=5, min_weight=15):
+                if k2 != kf:
+                    ring.add(k2)
+        for k2 in ring:
+            self._fuse_pair(kf, k2)  # kf's points into k2
+            self._fuse_pair(k2, kf)  # k2's points into kf
+        self.map.update_connections(kf)
+
+    def _fuse_pair(self, src: int, dst: int):
+        """Project src's map points into dst; merge duplicates / add
+        missing observations (reference: ORBmatcher.cc:825-975 Fuse).
+
+        Gathers are padded to the per-KF keypoint capacity so the jitted
+        kernels compile once."""
+        mp = self.map
+        src_pts = mp.kf_mp[src]
+        has = src_pts >= 0
+        if has.sum() == 0:
+            return
+        pts_live = np.unique(src_pts[has])
+        pts_live = pts_live[mp.pt_valid[pts_live]]
+        if len(pts_live) == 0:
+            return
+        cap = mp.kf_mp.shape[1]  # keypoint capacity bounds unique points
+        pts = np.full(cap, -1, np.int64)
+        pts[: len(pts_live)] = pts_live[:cap]
+        safe = np.maximum(pts, 0)
+        # Full frustum + scale-range + viewing-angle gating, with predicted
+        # octave (reference Fuse checks all of these, ORBmatcher.cc:854-933).
+        from c_orb_slam_tpu.tracking import frustum_check
+
+        in_view, uv, octave, _ = frustum_check(
+            jnp.asarray(mp.kf_pose[dst]),
+            jnp.asarray(mp.pt_xyz[safe]),
+            jnp.asarray(mp.pt_normal[safe]),
+            jnp.asarray(mp.pt_min_dist[safe]),
+            jnp.asarray(mp.pt_max_dist[safe]),
+            jnp.asarray(pts >= 0),
+            self.K,
+            img_w=self.cfg.camera.width,
+            img_h=self.cfg.camera.height,
+            log_scale=float(np.log(self.cfg.orb.scale_factor)),
+            n_levels=self.cfg.orb.n_levels,
+        )
+        if not bool(in_view.any()):
+            return
+        radii = 3.0 * jnp.asarray(self.sf)[octave]
+        m = match.search_by_projection(
+            uv, radii,
+            jnp.asarray(mp.pt_desc[safe]),
+            in_view,
+            jnp.asarray(mp.kf_xy[dst]),
+            jnp.asarray(mp.kf_octave[dst]),
+            jnp.asarray(mp.kf_desc[dst]),
+            jnp.asarray(mp.kf_kp_valid[dst]),
+            jnp.maximum(octave - 1, 0),
+            jnp.minimum(octave + 1, self.cfg.orb.n_levels - 1),
+            max_dist=self.cfg.matcher.th_low,
+            nn_ratio=1.0,
+        )
+        ok = np.asarray(m.valid) & (pts >= 0)
+        idx = np.asarray(m.idx)
+        for i in np.nonzero(ok)[0]:
+            p = int(pts[i])
+            feat = int(idx[i])
+            existing = int(mp.kf_mp[dst, feat])
+            if existing >= 0 and mp.pt_valid[existing]:
+                if existing != p:
+                    # Keep the point with more observations.
+                    if mp.pt_n_obs[existing] >= mp.pt_n_obs[p]:
+                        mp.replace_point(p, existing)
+                    else:
+                        mp.replace_point(existing, p)
+            else:
+                mp.add_observation(p, dst, feat)
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, kf: int):
+        """Windowed BA on the covisibility neighborhood (reference:
+        Optimizer.cc:453-778 LocalBundleAdjustment)."""
+        mp = self.map
+        cap = self.cfg.capacity
+        local = [kf] + mp.covisible_keyframes(
+            kf, n=cap.local_ba_max_kfs - 1, min_weight=1
+        )
+        local = local[: cap.local_ba_max_kfs]
+        local_set = set(local)
+
+        pts = set()
+        for k in local:
+            col = mp.kf_mp[k]
+            pts.update(col[col >= 0].tolist())
+        pts = np.asarray(sorted(pts), np.int64)
+        if len(pts):
+            pts = pts[mp.pt_valid[pts]]
+        pts = pts[: cap.local_ba_max_points]
+        pt_slot = {int(p): i for i, p in enumerate(pts)}
+
+        # Fixed frontier: keyframes observing local points but not local.
+        frontier = set()
+        for p in pts:
+            n = mp.pt_n_obs[p]
+            for k in mp.pt_obs_kf[p, :n]:
+                if k >= 0 and int(k) not in local_set:
+                    frontier.add(int(k))
+        cams = local + sorted(frontier)
+        cams = cams[: cap.local_ba_max_kfs * 2]
+        cam_slot = {k: i for i, k in enumerate(cams)}
+        C = cap.local_ba_max_kfs * 2
+        P = cap.local_ba_max_points
+        O = cap.local_ba_max_obs
+
+        cam_T = np.tile(np.eye(3, 4, dtype=np.float32), (C, 1, 1))
+        cam_fixed = np.ones(C, bool)
+        cam_valid = np.zeros(C, bool)
+        for k, i in cam_slot.items():
+            cam_T[i] = mp.kf_pose[k]
+            cam_valid[i] = True
+            cam_fixed[i] = k not in local_set
+        # Gauge: fix the oldest local keyframe too (reference fixes KF 0 or
+        # the frontier; with no frontier early on, pin the oldest).
+        if len(frontier) == 0 and len(local) > 0:
+            cam_fixed[cam_slot[min(local)]] = True
+            if self.cfg.sensor == Sensor.MONOCULAR and len(local) > 1:
+                # Pin scale gauge with a second fixed camera.
+                rest = sorted(local)
+                cam_fixed[cam_slot[rest[1]]] = True
+
+        points = np.zeros((P, 3), np.float32)
+        point_valid = np.zeros(P, bool)
+        points[: len(pts)] = mp.pt_xyz[pts]
+        point_valid[: len(pts)] = True
+
+        obs_cam = np.zeros(O, np.int32)
+        obs_pt = np.zeros(O, np.int32)
+        obs_uv = np.zeros((O, 3), np.float32)
+        obs_stereo = np.zeros(O, bool)
+        obs_isig = np.ones(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        obs_src = []  # (pt, kf, feat) for outlier erase
+        n_obs = 0
+        inv_sigma2 = 1.0 / self.sigma2
+        for si, p in enumerate(pts):
+            n = mp.pt_n_obs[p]
+            for k, feat in zip(mp.pt_obs_kf[p, :n], mp.pt_obs_feat[p, :n]):
+                if k < 0 or int(k) not in cam_slot or n_obs >= O:
+                    continue
+                ci = cam_slot[int(k)]
+                obs_cam[n_obs] = ci
+                obs_pt[n_obs] = si
+                uv = mp.kf_xy[k, feat]
+                ur = mp.kf_ur[k, feat]
+                stereo = ur > 0
+                obs_uv[n_obs] = [uv[0], uv[1], ur if stereo else 0.0]
+                obs_stereo[n_obs] = stereo
+                obs_isig[n_obs] = inv_sigma2[mp.kf_octave[k, feat]]
+                obs_valid[n_obs] = True
+                obs_src.append((int(p), int(k), int(feat)))
+                n_obs += 1
+
+        problem = ba.BAProblem(
+            cam_T=jnp.asarray(cam_T),
+            cam_fixed=jnp.asarray(cam_fixed),
+            cam_valid=jnp.asarray(cam_valid),
+            points=jnp.asarray(points),
+            point_valid=jnp.asarray(point_valid),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(obs_uv),
+            obs_stereo=jnp.asarray(obs_stereo),
+            obs_inv_sigma2=jnp.asarray(obs_isig),
+            obs_valid=jnp.asarray(obs_valid),
+            K=self.K,
+            bf=jnp.asarray(float(self.cfg.camera.bf)),
+        )
+        result = ba.bundle_adjust(
+            problem,
+            iters_first=self.cfg.optimizer.local_ba_its_first,
+            iters_second=self.cfg.optimizer.local_ba_its_second,
+            chi2_mono=self.cfg.optimizer.chi2_mono,
+            chi2_stereo=self.cfg.optimizer.chi2_stereo,
+            pcg_iters=self.cfg.optimizer.pcg_iters,
+        )
+        _dbg(
+            f"localBA: cams={len(cams)} local={len(local)} fixed={int(cam_fixed[cam_valid].sum())}"
+            f" pts={len(pts)} obs={n_obs}"
+            f" inliers={int(np.asarray(result.obs_inlier).sum())}"
+            f" chi2={float(result.final_chi2):.2f}"
+        )
+        new_T = np.asarray(result.cam_T)
+        new_pts = np.asarray(result.points)
+        inlier = np.asarray(result.obs_inlier)
+        for k, i in cam_slot.items():
+            if not cam_fixed[i]:
+                mp.kf_pose[k] = new_T[i]
+        mp.pt_xyz[pts] = new_pts[: len(pts)]
+        # Erase outlier observations (reference: Optimizer.cc:745-757).
+        for oi in range(n_obs):
+            if not inlier[oi] and obs_valid[oi]:
+                p, k, feat = obs_src[oi]
+                mp.erase_observation(p, k)
+                if mp.pt_n_obs[p] <= 1:
+                    mp.erase_point(p)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, kf: int):
+        """Cull local keyframes whose points are >=90% seen by at least 3
+        OTHER keyframes at the same or finer scale (reference:
+        LocalMapping.cc:632-696). The newest keyframes and the current
+        reference are never culled, and at most 2 go per pass (the
+        reference's thread interleaving produces a similar throttle)."""
+        mp = self.map
+        culled = 0
+        for k in mp.covisible_keyframes(kf, n=20, min_weight=1):
+            if k == 0 or k == kf or not mp.kf_valid[k] or culled >= 2:
+                continue
+            if kf - k < 3:  # keep the most recent window intact
+                continue
+            col = mp.kf_mp[k]
+            feats = np.nonzero(col >= 0)[0]
+            redundant = 0
+            total = 0
+            for feat in feats:
+                p = col[feat]
+                if not mp.pt_valid[p]:
+                    continue
+                total += 1
+                scale_k = mp.kf_octave[k, feat]
+                n = mp.pt_n_obs[p]
+                n_finer = 0
+                for ok, of in zip(mp.pt_obs_kf[p, :n], mp.pt_obs_feat[p, :n]):
+                    if ok < 0 or ok == k:
+                        continue
+                    if mp.kf_octave[ok, of] <= scale_k + 1:
+                        n_finer += 1
+                        if n_finer >= self.cfg.mapping.kf_cull_min_obs:
+                            break
+                if n_finer >= self.cfg.mapping.kf_cull_min_obs:
+                    redundant += 1
+            if total > 0 and redundant > self.cfg.mapping.kf_cull_redundancy * total:
+                self._erase_keyframe(k)
+                culled += 1
+
+    def _erase_keyframe(self, k: int):
+        mp = self.map
+        col = mp.kf_mp[k]
+        for feat in np.nonzero(col >= 0)[0]:
+            mp.erase_observation(int(col[feat]), k)
+        mp.kf_valid[k] = False
+        mp.covis[k, :] = 0
+        mp.covis[:, k] = 0
+        # Re-parent children in the spanning tree (simplified: point at
+        # this kf's own parent; reference does max-covisibility reparenting,
+        # KeyFrame.cc:480-535).
+        parent = mp.spanning_parent[k]
+        mp.spanning_parent[mp.spanning_parent == k] = parent

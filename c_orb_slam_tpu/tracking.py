@@ -1,0 +1,716 @@
+"""Per-frame tracking: the SLAM front state machine.
+
+Reference: src/Tracking.cc — Track() (:267-506) drives per-frame pose
+estimation: motion-model tracking (:867), reference-keyframe fallback
+(:757), relocalization (:1341), then local-map tracking (:930) and the
+keyframe decision (:977). It runs in the caller's thread under the map
+mutex.
+
+TPU-native: a host state machine dispatching jitted fixed-shape kernels —
+projection/frustum culling, masked-matrix matching, batched RANSAC,
+motion-only GN. The host keeps only index bookkeeping; there are no locks
+(the host loop owns the map; see slam_map/mapstate.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from c_orb_slam_tpu.config import SlamConfig, Sensor
+from c_orb_slam_tpu.frontend import frame as frame_mod
+from c_orb_slam_tpu.geometry import camera, se3
+from c_orb_slam_tpu.ops import hamming, match, pnp, twoview
+from c_orb_slam_tpu.optim import pose_opt
+from c_orb_slam_tpu.slam_map.mapstate import MapState
+
+import os
+
+_DEBUG = bool(os.environ.get("SLAM_DEBUG"))
+
+
+def _dbg(*args):
+    if _DEBUG:
+        print("[track]", *args)
+
+
+class TrackState:
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@functools.partial(jax.jit, static_argnames=("img_w", "img_h", "n_levels"))
+def frustum_check(
+    T: jnp.ndarray,
+    xyz: jnp.ndarray,
+    normal: jnp.ndarray,
+    min_dist: jnp.ndarray,
+    max_dist: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    K: jnp.ndarray,
+    img_w: int,
+    img_h: int,
+    log_scale: float,
+    n_levels: int,
+    view_cos_limit: float = 0.5,
+):
+    """Batched Frame::isInFrustum (reference: src/Frame.cc:269-325).
+
+    Returns (in_view, uv, predicted_octave, view_cos).
+    """
+    xc = se3.apply(T, xyz)
+    z = xc[:, 2]
+    uv = camera.project(xc, K)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < img_w) & (uv[:, 1] >= 0) & (uv[:, 1] < img_h)
+    )
+    center = se3.translation(se3.inverse(T))
+    po = xyz - center
+    dist = jnp.linalg.norm(po, axis=1)
+    range_ok = (dist >= 0.8 * min_dist) & (dist <= 1.2 * max_dist)
+    view_cos = jnp.sum(po * normal, axis=1) / jnp.maximum(dist, 1e-12)
+    # Predicted octave (reference: MapPoint::PredictScale, MapPoint.cc:385).
+    ratio = jnp.maximum(max_dist, 1e-12) / jnp.maximum(dist, 1e-12)
+    octave = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
+    octave = jnp.clip(octave, 0, n_levels - 1)
+    in_view = pt_valid & (z > 0) & in_img & range_ok & (view_cos > view_cos_limit)
+    return in_view, uv, octave, view_cos
+
+
+class Tracking:
+    """Host tracking loop. One instance per System."""
+
+    def __init__(self, cfg: SlamConfig, mapstate: MapState):
+        self.cfg = cfg
+        self.map = mapstate
+        self.state = TrackState.NOT_INITIALIZED
+        self.K = camera.intrinsics_array(cfg.camera)
+        self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
+        self.inv_sigma2_levels = jnp.asarray(
+            1.0 / np.asarray(cfg.orb.level_sigma2(), np.float32)
+        )
+        self.velocity: Optional[np.ndarray] = None  # T_{cur<-last}
+        self.last_pose: Optional[np.ndarray] = None
+        self.last_frame: Optional[frame_mod.FrameData] = None
+        self.last_mp: Optional[np.ndarray] = None  # (N,) point idx / -1
+        self.ref_kf: int = -1
+        self.frames_since_kf = 0
+        self.frame_id = -1
+        self.last_kf_frame_id = -1
+        self.last_reloc_frame_id = -1000000
+        # Mono init state
+        self._init_frame: Optional[frame_mod.FrameData] = None
+        self._init_frame_id = -1
+        self._rng = jax.random.PRNGKey(cfg.vocabulary.seed)
+        # Per-frame trajectory log: (frame_id, Tcw (3,4), ref_kf, state)
+        self.trajectory: list = []
+        self.current_inliers = 0
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def track(self, f: frame_mod.FrameData) -> Optional[np.ndarray]:
+        """Process one frame; returns Tcw (3,4) numpy or None if lost."""
+        self.frame_id += 1
+        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
+
+        if self.state == TrackState.NOT_INITIALIZED:
+            if self.cfg.sensor == Sensor.MONOCULAR:
+                self._monocular_initialization(f)
+            else:
+                self._stereo_initialization(f)
+            self._log_frame()
+            return self.last_pose
+
+        ok = False
+        pose = None
+        if self.state == TrackState.OK:
+            self._check_replaced_last()
+            if self.velocity is not None:
+                ok, pose, cur_mp = self._track_motion_model(f)
+            if not ok:
+                ok, pose, cur_mp = self._track_reference_kf(f)
+        if self.state == TrackState.LOST or not ok:
+            ok, pose, cur_mp = self._relocalize(f)
+            if ok:
+                self.last_reloc_frame_id = self.frame_id
+
+        if ok:
+            ok, pose, cur_mp = self._track_local_map(f, pose, cur_mp)
+
+        if ok:
+            # Motion model: velocity = T_cur * T_last^-1, with the rotation
+            # part damped (see TrackingConfig.velocity_rotation_fraction).
+            if self.last_pose is not None:
+                vel = se3.compose(
+                    jnp.asarray(pose), se3.inverse(jnp.asarray(self.last_pose))
+                )
+                frac = self.cfg.tracking.velocity_rotation_fraction
+                if frac < 1.0:
+                    w = se3.log(vel)
+                    w = w.at[3:].multiply(frac)
+                    vel = se3.exp(w)
+                self.velocity = np.asarray(vel)
+            self.state = TrackState.OK
+            self.last_pose = np.asarray(pose)
+            if self._need_new_keyframe(f, cur_mp):
+                self._create_keyframe(f, cur_mp)
+                self.frames_since_kf = 0
+            else:
+                self.frames_since_kf += 1
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+
+        self.last_frame = f
+        self.last_mp = cur_mp
+        self._log_frame()
+        return self.last_pose if ok else None
+
+    # ------------------------------------------------------------------
+    def _log_frame(self):
+        if self.last_pose is not None:
+            self.trajectory.append(
+                (self.frame_id, self.last_pose.copy(), self.ref_kf, self.state)
+            )
+
+    def _check_replaced_last(self):
+        """Follow point-forwarding on last frame's matches (reference:
+        Tracking::CheckReplacedInLastFrame, Tracking.cc:739-754)."""
+        if self.last_mp is not None:
+            self.last_mp = self.map.resolve(self.last_mp)
+            dead = (self.last_mp >= 0) & ~self.map.pt_valid[
+                np.maximum(self.last_mp, 0)
+            ]
+            self.last_mp[dead] = -1
+
+    # ------------------------------------------------------------------
+    # Initialization
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, f: frame_mod.FrameData):
+        """Two-view bootstrap (reference: Tracking.cc:563-737)."""
+        n_valid = int(jnp.sum(f.valid))
+        if self._init_frame is None:
+            if n_valid >= self.cfg.tracking.min_init_matches:
+                self._init_frame = f
+                self._init_frame_id = self.frame_id
+            return
+        if n_valid < self.cfg.tracking.min_init_matches:
+            self._init_frame = None
+            return
+
+        f0 = self._init_frame
+        m = match.search_for_initialization(
+            f0.xy, f0.desc, f0.valid, f0.angle,
+            f.xy, f.desc, f.valid, f.angle, jnp.zeros_like(f.octave),
+            window=100.0, max_dist=self.cfg.matcher.th_low,
+            nn_ratio=self.cfg.matcher.nn_ratio_tracking,
+        )
+        # Deviation from the reference (which restricts init matching to
+        # pyramid level 0, ORBmatcher.cc:415): all octaves participate —
+        # our per-cell selection yields ~4x fewer level-0 features than
+        # OpenCV FAST, and H/F estimation is octave-agnostic.
+        valid0 = np.asarray(m.valid)
+        if valid0.sum() < self.cfg.tracking.min_init_matches:
+            self._init_frame = None
+            return
+
+        uv1 = f0.xy
+        uv2 = f.xy[m.idx]
+        res = twoview.initialize(
+            uv1, uv2, jnp.asarray(valid0), self.K, self._next_key(),
+            n_hypotheses=self.cfg.capacity.ransac_init_iters,
+        )
+        if not bool(res.ok):
+            return
+
+        good = np.asarray(res.good)
+        pts = np.asarray(res.points)
+        # Median-depth scale normalization (reference: Tracking.cc:689-713).
+        depths = pts[good, 2]
+        med = float(np.median(depths))
+        if med <= 0:
+            self._init_frame = None
+            return
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        T21 = np.array(res.T21)
+        T21[:, 3] *= inv_med
+
+        # Create the two keyframes + points.
+        mp0 = self._create_initial_map(f0, f, m, good, pts, T21)
+        self.state = TrackState.OK
+        self.last_pose = T21
+        self.velocity = None
+        self.last_mp = mp0
+        self._init_frame = None
+
+    def _create_initial_map(self, f0, f1, m, good, pts, T21):
+        mp = self.map
+        k0 = mp.add_keyframe(
+            self._init_frame_id, np.eye(3, 4, dtype=np.float32),
+            np.asarray(f0.xy), np.asarray(f0.octave), np.asarray(f0.angle),
+            np.asarray(f0.desc), np.asarray(f0.valid),
+        )
+        k1 = mp.add_keyframe(
+            self.frame_id, T21,
+            np.asarray(f1.xy), np.asarray(f1.octave), np.asarray(f1.angle),
+            np.asarray(f1.desc), np.asarray(f1.valid),
+        )
+        idx1 = np.asarray(m.idx)
+        cur_mp = np.full(f1.xy.shape[0], -1, np.int64)
+        for i in np.nonzero(good)[0]:
+            p = mp.add_point(pts[i], np.asarray(f0.desc)[i], k0)
+            mp.add_observation(p, k0, int(i))
+            mp.add_observation(p, k1, int(idx1[i]))
+            mp.update_point_descriptor_and_normal(p)
+            cur_mp[idx1[i]] = p
+        mp.update_connections(k0)
+        mp.update_connections(k1)
+        self.ref_kf = k1
+        self.last_kf_frame_id = self.frame_id
+        self.frames_since_kf = 0
+        mp.big_change_idx += 1
+        # Full BA on the initial two-view map (reference: Tracking.cc:686
+        # GlobalBundleAdjustemnt(pMap, 20)) — without it the init map's
+        # depth errors poison every later epipolar/reprojection gate.
+        self._initial_bundle_adjustment(k0, k1, cur_mp)
+        return cur_mp
+
+    def _initial_bundle_adjustment(self, k0: int, k1: int, cur_mp):
+        from c_orb_slam_tpu.optim import ba as ba_mod
+
+        mp = self.map
+        pts = mp.live_points()
+        P = len(pts)
+        obs_list = []
+        for si, p in enumerate(pts):
+            n = mp.pt_n_obs[p]
+            for k, feat in zip(mp.pt_obs_kf[p, :n], mp.pt_obs_feat[p, :n]):
+                if k < 0:
+                    continue
+                uv = mp.kf_xy[k, feat]
+                obs_list.append(
+                    (0 if k == k0 else 1, si, uv[0], uv[1],
+                     1.0 / float(self.cfg.orb.level_sigma2()[mp.kf_octave[k, feat]]))
+                )
+        O = len(obs_list)
+        arr = np.asarray(obs_list, np.float32)
+        problem = ba_mod.BAProblem(
+            cam_T=jnp.asarray(
+                np.stack([mp.kf_pose[k0], mp.kf_pose[k1]])
+            ),
+            cam_fixed=jnp.asarray([True, False]),
+            cam_valid=jnp.ones(2, bool),
+            points=jnp.asarray(mp.pt_xyz[pts]),
+            point_valid=jnp.ones(P, bool),
+            obs_cam=jnp.asarray(arr[:, 0], jnp.int32),
+            obs_pt=jnp.asarray(arr[:, 1], jnp.int32),
+            obs_uv=jnp.asarray(
+                np.concatenate([arr[:, 2:4], np.zeros((O, 1), np.float32)], axis=1)
+            ),
+            obs_stereo=jnp.zeros(O, bool),
+            obs_inv_sigma2=jnp.asarray(arr[:, 4]),
+            obs_valid=jnp.ones(O, bool),
+            K=self.K,
+            bf=jnp.asarray(0.0),
+        )
+        cam_T, points = ba_mod.optimize(
+            problem, iters=self.cfg.optimizer.init_ba_its, use_huber=True,
+            pcg_iters=self.cfg.optimizer.pcg_iters,
+        )
+        mp.kf_pose[k1] = np.asarray(cam_T[1])
+        mp.pt_xyz[pts] = np.asarray(points)
+        # Re-normalize to median depth 1 after BA (the BA can drift the
+        # free scale gauge of a two-view mono map).
+        T = mp.kf_pose[k0]
+        z = mp.pt_xyz[pts] @ T[2, :3] + T[2, 3]
+        med = float(np.median(z))
+        if med > 0:
+            mp.pt_xyz[pts] /= med
+            mp.kf_pose[k1][:, 3] /= med
+        self.last_pose = mp.kf_pose[k1].copy()
+
+    def _stereo_initialization(self, f: frame_mod.FrameData):
+        """Bootstrap from depth (reference: Tracking.cc:509-561)."""
+        n_depth = int(jnp.sum((f.depth > 0) & f.valid))
+        if n_depth < self.cfg.tracking.min_stereo_init_points:
+            return
+        mp = self.map
+        pose = np.eye(3, 4, dtype=np.float32)
+        k0 = mp.add_keyframe(
+            self.frame_id, pose,
+            np.asarray(f.xy), np.asarray(f.octave), np.asarray(f.angle),
+            np.asarray(f.desc), np.asarray(f.valid),
+            ur=np.asarray(f.ur), depth=np.asarray(f.depth),
+        )
+        xyz = np.asarray(
+            camera.backproject(f.xy, f.depth, self.K)
+        )
+        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
+        sel = np.nonzero(np.asarray(f.valid) & (np.asarray(f.depth) > 0))[0]
+        for i in sel:
+            p = mp.add_point(xyz[i], np.asarray(f.desc)[i], k0)
+            mp.add_observation(p, k0, int(i))
+            mp.update_point_descriptor_and_normal(p)
+            cur_mp[i] = p
+        mp.update_connections(k0)
+        self.ref_kf = k0
+        self.last_kf_frame_id = self.frame_id
+        self.state = TrackState.OK
+        self.last_pose = pose
+        self.last_mp = cur_mp
+        self.frames_since_kf = 0
+        mp.big_change_idx += 1
+
+    # ------------------------------------------------------------------
+    # Per-frame pose tracking
+    # ------------------------------------------------------------------
+    def _gather_points(self, idx: np.ndarray):
+        """Device arrays for point subsets (idx may contain -1)."""
+        safe = np.maximum(idx, 0)
+        return (
+            jnp.asarray(self.map.pt_xyz[safe]),
+            jnp.asarray(self.map.pt_desc[safe]),
+        )
+
+    def _optimize_frame_pose(self, f, T0, mp_idx: np.ndarray):
+        """Run motion-only GN against current matches; returns
+        (pose np, inlier mask np, n_inliers)."""
+        has = mp_idx >= 0
+        xyz, _ = self._gather_points(mp_idx)
+        obs = jnp.concatenate(
+            [f.xy, jnp.asarray(np.where(has, np.asarray(f.ur), -1.0))[:, None]],
+            axis=1,
+        )
+        is_stereo = (obs[:, 2] > 0) & jnp.asarray(has)
+        obs = jnp.where(is_stereo[:, None], obs, obs.at[:, 2].set(0.0))
+        inv_s2 = self.inv_sigma2_levels[f.octave]
+        result = pose_opt.optimize_pose(
+            jnp.asarray(T0), xyz, obs, inv_s2, is_stereo,
+            jnp.asarray(has), self.K, float(self.cfg.camera.bf),
+            rounds=self.cfg.optimizer.pose_opt_rounds,
+            iters=self.cfg.optimizer.pose_opt_its,
+            chi2_mono=self.cfg.optimizer.chi2_mono,
+            chi2_stereo=self.cfg.optimizer.chi2_stereo,
+        )
+        return (
+            np.asarray(result.pose),
+            np.asarray(result.inliers),
+            int(result.n_inliers),
+        )
+
+    def _track_motion_model(self, f: frame_mod.FrameData):
+        """Project last frame's points with constant-velocity prior
+        (reference: Tracking.cc:867-928 + ORBmatcher.cc:1328)."""
+        T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
+        T_pred = T_pred[:3].astype(np.float32)
+
+        last_has = self.last_mp >= 0
+        if last_has.sum() < 10:
+            return False, None, None
+        idx = np.maximum(self.last_mp, 0)
+        xyz = jnp.asarray(self.map.pt_xyz[idx])
+        desc = jnp.asarray(self.map.pt_desc[idx])
+        xc = se3.apply(jnp.asarray(T_pred), xyz)
+        uv = camera.project(xc, self.K)
+        z_ok = xc[:, 2] > 0
+
+        th = 15.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        radii = th * jnp.asarray(self.sf)[self.last_frame.octave]
+        lo = jnp.maximum(self.last_frame.octave - 1, 0)
+        hi = jnp.minimum(
+            self.last_frame.octave + 1, self.cfg.orb.n_levels - 1
+        )
+        m = match.search_by_projection(
+            uv, radii, desc, jnp.asarray(last_has) & z_ok,
+            f.xy, f.octave, f.desc, f.valid, lo, hi,
+            max_dist=self.cfg.matcher.th_high,
+            nn_ratio=self.cfg.matcher.nn_ratio_tracking,
+        )
+        ok_np = np.asarray(m.valid)
+        if ok_np.sum() < 20:
+            return False, None, None
+        # Build current-frame point assignment.
+        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
+        tgt = np.asarray(m.idx)[ok_np]
+        cur_mp[tgt] = self.last_mp[ok_np]
+
+        pose, inl, n = self._optimize_frame_pose(f, T_pred, cur_mp)
+        cur_mp[~inl] = -1
+        if n < self.cfg.tracking.min_inliers_pose:
+            return False, None, None
+        return True, pose, cur_mp
+
+    def _track_reference_kf(self, f: frame_mod.FrameData):
+        """Match against the reference keyframe's map points (reference:
+        Tracking.cc:757-799; BoW-accelerated there, dense masked here)."""
+        k = self.ref_kf
+        if k < 0:
+            return False, None, None
+        kf_mp = self.map.kf_mp[k]
+        has = kf_mp >= 0
+        m = match.match(
+            jnp.asarray(self.map.kf_desc[k]),
+            f.desc,
+            jnp.asarray(has & self.map.kf_kp_valid[k]),
+            f.valid,
+            max_dist=self.cfg.matcher.th_low,
+            nn_ratio=0.7,
+        )
+        ok_np = np.asarray(
+            match.rotation_consistency(
+                jnp.asarray(self.map.kf_angle[k]), f.angle[m.idx], m.valid
+            )
+        )
+        if ok_np.sum() < 15:
+            return False, None, None
+        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
+        cur_mp[np.asarray(m.idx)[ok_np]] = kf_mp[ok_np]
+        T0 = self.last_pose if self.last_pose is not None else np.eye(3, 4, dtype=np.float32)
+        pose, inl, n = self._optimize_frame_pose(f, T0, cur_mp)
+        cur_mp[~inl] = -1
+        if n < self.cfg.tracking.min_inliers_pose:
+            return False, None, None
+        return True, pose, cur_mp
+
+    def _relocalize(self, f: frame_mod.FrameData):
+        """Global relocalization (reference: Tracking.cc:1341-1502).
+
+        Until the BoW database lands (M4), candidates are all keyframes
+        ranked by descriptor-match count — same downstream PnP flow.
+        """
+        live = self.map.live_keyframes()
+        if len(live) == 0:
+            return False, None, None
+        best = None
+        for k in live[-10:]:  # most recent keyframes as candidates
+            kf_mp = self.map.kf_mp[k]
+            has = kf_mp >= 0
+            if has.sum() < 15:
+                continue
+            m = match.match(
+                jnp.asarray(self.map.kf_desc[k]), f.desc,
+                jnp.asarray(has & self.map.kf_kp_valid[k]), f.valid,
+                max_dist=self.cfg.matcher.th_low, nn_ratio=0.75,
+            )
+            n = int(m.count())
+            if best is None or n > best[0]:
+                best = (n, k, m)
+        if best is None or best[0] < 15:
+            return False, None, None
+        _, k, m = best
+        kf_mp = self.map.kf_mp[k]
+        ok_np = np.asarray(m.valid)
+        cap = f.xy.shape[0]  # pad to keypoint capacity: compile once
+        sel = np.full(cap, -1, np.int64)
+        nz = np.nonzero(ok_np)[0]
+        sel[: len(nz)] = nz
+        safe = np.maximum(sel, 0)
+        pt_idx = np.where(sel >= 0, kf_mp[safe], 0)
+        uv = np.asarray(f.xy)[np.asarray(m.idx)[safe]]
+        res = pnp.solve_pnp_ransac(
+            jnp.asarray(self.map.pt_xyz[pt_idx]),
+            jnp.asarray(uv),
+            jnp.asarray(sel >= 0),
+            self.inv_sigma2_levels[np.asarray(f.octave)[np.asarray(m.idx)[safe]]],
+            self.K,
+            self._next_key(),
+            n_hypotheses=self.cfg.capacity.ransac_pnp_iters,
+        )
+        if not bool(res.ok):
+            return False, None, None
+        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
+        inl = np.asarray(res.inliers) & (sel >= 0)
+        cur_mp[np.asarray(m.idx)[safe[inl]]] = pt_idx[inl]
+        pose, pin, n = self._optimize_frame_pose(f, np.asarray(res.pose), cur_mp)
+        cur_mp[~pin] = -1
+        if n < self.cfg.tracking.min_inliers_pose:
+            return False, None, None
+        return True, pose, cur_mp
+
+    def _track_local_map(self, f, pose, cur_mp):
+        """Widen matches to the covisibility-local map and re-optimize
+        (reference: Tracking.cc:930-974, 1143-1230)."""
+        local_kfs = self._local_keyframes(cur_mp)
+        local_pts = self._local_points(local_kfs)
+        if len(local_pts) == 0:
+            n = (cur_mp >= 0).sum()
+            self.current_inliers = int(n)
+            return n >= self.cfg.tracking.min_inliers_pose, pose, cur_mp
+
+        cap = self.cfg.capacity.local_map_max_points
+        if len(local_pts) > cap:
+            local_pts = local_pts[:cap]
+        pts_pad = np.full(cap, -1, np.int64)
+        pts_pad[: len(local_pts)] = local_pts
+        safe = np.maximum(pts_pad, 0)
+
+        in_view, uv, octave, view_cos = frustum_check(
+            jnp.asarray(pose),
+            jnp.asarray(self.map.pt_xyz[safe]),
+            jnp.asarray(self.map.pt_normal[safe]),
+            jnp.asarray(self.map.pt_min_dist[safe]),
+            jnp.asarray(self.map.pt_max_dist[safe]),
+            jnp.asarray(pts_pad >= 0),
+            self.K,
+            img_w=self.cfg.camera.width,
+            img_h=self.cfg.camera.height,
+            log_scale=float(np.log(self.cfg.orb.scale_factor)),
+            n_levels=self.cfg.orb.n_levels,
+        )
+        self.map.pt_visible[safe[np.asarray(in_view)]] += 1
+
+        # Exclude points already matched in this frame.
+        matched_set = set(cur_mp[cur_mp >= 0].tolist())
+        fresh = np.asarray(
+            [p not in matched_set if p >= 0 else False for p in pts_pad]
+        )
+        # Radius: 2.5 px scaled, widened to 4.0 for oblique views
+        # (reference: ORBmatcher.cc:131-137 RadiusByViewingCos x th=3? —
+        # the reference uses r in {2.5, 4.0} scaled by level).
+        r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        radii = r * jnp.asarray(self.sf)[octave]
+        # Octave gate widened vs the reference's [o-1, o] — the predicted
+        # octave degrades with scale drift, and a tight gate turns drift
+        # into match starvation (observed in synthetic runs).
+        lo = jnp.maximum(octave - 2, 0)
+        hi = jnp.minimum(octave + 1, self.cfg.orb.n_levels - 1)
+        # Free target keypoints: not already bound to a point.
+        free_t = f.valid & jnp.asarray(cur_mp < 0)
+        m = match.search_by_projection(
+            uv, radii,
+            jnp.asarray(self.map.pt_desc[safe]),
+            in_view & jnp.asarray(fresh),
+            f.xy, f.octave, f.desc, free_t, lo, hi,
+            max_dist=self.cfg.matcher.th_high,
+            nn_ratio=self.cfg.matcher.nn_ratio_mapping + 0.2,
+        )
+        ok_np = np.asarray(m.valid)
+        new_mp = cur_mp.copy()
+        new_mp[np.asarray(m.idx)[ok_np]] = pts_pad[ok_np]
+        _dbg(
+            f"localmap: kfs={len(local_kfs)} pts={len(local_pts)}"
+            f" in_view={int(in_view.sum())} fresh={int(fresh.sum())}"
+            f" new_matches={int(ok_np.sum())}"
+            f" seed_matches={(cur_mp >= 0).sum()}"
+        )
+
+        pose2, inl, n = self._optimize_frame_pose(f, pose, new_mp)
+        found = new_mp.copy()
+        found[~inl] = -1
+        self.map.pt_found[found[found >= 0]] += 1
+        new_mp[~inl] = -1
+        self.current_inliers = n
+
+        recent_reloc = self.frame_id - self.last_reloc_frame_id < int(
+            self.cfg.camera.fps
+        )
+        need = (
+            self.cfg.tracking.min_inliers_local_map_strict
+            if recent_reloc
+            else self.cfg.tracking.min_inliers_local_map
+        )
+        return n >= need, pose2, new_mp
+
+    def _local_keyframes(self, cur_mp) -> list[int]:
+        """Covisibility vote (reference: Tracking.cc:1231-1300)."""
+        votes = {}
+        for p in cur_mp[cur_mp >= 0]:
+            n = self.map.pt_n_obs[p]
+            for k in self.map.pt_obs_kf[p, :n]:
+                if k >= 0:
+                    votes[int(k)] = votes.get(int(k), 0) + 1
+        if not votes:
+            return [self.ref_kf] if self.ref_kf >= 0 else []
+        ranked = sorted(votes, key=votes.get, reverse=True)
+        local = ranked[: self.cfg.tracking.max_local_keyframes]
+        # Reference KF = most-voting keyframe.
+        self.ref_kf = local[0]
+        # Add one covisibility ring (K2 set, capped).
+        ring = []
+        for k in local[:10]:
+            ring.extend(self.map.covisible_keyframes(k, n=5, min_weight=15))
+        seen = set(local)
+        for k in ring:
+            if k not in seen and len(local) < self.cfg.tracking.max_local_keyframes:
+                local.append(k)
+                seen.add(k)
+        return local
+
+    def _local_points(self, local_kfs) -> np.ndarray:
+        pts = set()
+        for k in local_kfs:
+            mp = self.map.kf_mp[k]
+            pts.update(mp[mp >= 0].tolist())
+        pts = np.asarray(sorted(pts), np.int64)
+        if len(pts):
+            pts = pts[self.map.pt_valid[pts]]
+        return pts
+
+    # ------------------------------------------------------------------
+    # Keyframe policy
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, f, cur_mp) -> bool:
+        """Reference: Tracking.cc:977-1061 (conditions c1a/c1b/c2; the
+        mapper-idle condition is moot — mapping runs inline)."""
+        n_kf = len(self.map.live_keyframes())
+        if n_kf == 0:
+            return False
+        frames = self.frame_id - self.last_kf_frame_id
+        # Matches the reference keyframe currently tracks.
+        ref_matches = (self.map.kf_mp[self.ref_kf] >= 0).sum() if self.ref_kf >= 0 else 0
+        inliers = self.current_inliers
+        theta = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
+        c1a = frames >= self.cfg.tracking.max_frames_between_kf
+        c1b = frames >= self.cfg.tracking.min_frames_between_kf
+        c2 = inliers < ref_matches * theta and inliers > 15
+        return bool(c1a or (c1b and c2))
+
+    def _create_keyframe(self, f, cur_mp):
+        """Promote the frame (reference: Tracking.cc:1063-1141); stereo/RGBD
+        also seeds new close points from depth (:1077-1131)."""
+        mp = self.map
+        k = mp.add_keyframe(
+            self.frame_id, self.last_pose,
+            np.asarray(f.xy), np.asarray(f.octave), np.asarray(f.angle),
+            np.asarray(f.desc), np.asarray(f.valid),
+            ur=np.asarray(f.ur), depth=np.asarray(f.depth),
+        )
+        for i in np.nonzero(cur_mp >= 0)[0]:
+            mp.add_observation(int(cur_mp[i]), k, int(i))
+        # Stereo/RGBD: create close points for unmatched keypoints.
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            depth = np.asarray(f.depth)
+            close = (
+                (depth > 0)
+                & (depth < self.cfg.tracking.th_depth * self.cfg.camera.baseline)
+                & (cur_mp < 0)
+                & np.asarray(f.valid)
+            )
+            order = np.argsort(np.where(close, depth, np.inf))
+            n_new = min(
+                int(close.sum()), self.cfg.tracking.max_new_stereo_points
+            )
+            Tcw = jnp.asarray(self.last_pose)
+            xyz_c = camera.backproject(f.xy, f.depth, self.K)
+            xyz_w = np.asarray(se3.apply(se3.inverse(Tcw), xyz_c))
+            for i in order[:n_new]:
+                p = mp.add_point(xyz_w[i], np.asarray(f.desc)[i], k)
+                mp.add_observation(p, k, int(i))
+                mp.update_point_descriptor_and_normal(p)
+                cur_mp[i] = p
+        for p in cur_mp[cur_mp >= 0]:
+            mp.update_point_descriptor_and_normal(int(p))
+        mp.update_connections(k)
+        self.ref_kf = k
+        self.last_kf_frame_id = self.frame_id
+        self.new_keyframe = k
+        return k

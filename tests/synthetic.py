@@ -66,6 +66,76 @@ def smooth_trajectory(n_frames: int, seed: int = 0) -> np.ndarray:
     return np.stack(poses).astype(np.float32)
 
 
+def render_scene(
+    xw: np.ndarray,
+    intensity: np.ndarray,
+    world_size: np.ndarray,
+    T: np.ndarray,
+    K4,
+    h: int = 480,
+    w: int = 640,
+    bg: float = 128.0,
+) -> np.ndarray:
+    """Painter's-algorithm rendering of textured square billboards.
+
+    Produces images whose corners are stable, scale-varying FAST features —
+    the synthetic stand-in for dataset frames (SURVEY.md §4 tier (b)).
+    """
+    # Render at 2x supersampling then box-downsample: anti-aliased edges
+    # carry the subpixel position information a real camera would.
+    ss = 2
+    fx, fy, cx, cy = K4
+    xc = xw @ T[:, :3].T + T[:, 3]
+    z = xc[:, 2]
+    vis = z > 0.5
+    u = ss * (fx * xc[:, 0] / np.maximum(z, 1e-6) + cx)
+    v = ss * (fy * xc[:, 1] / np.maximum(z, 1e-6) + cy)
+    r = np.maximum(ss * world_size * fx / np.maximum(z, 1e-6), ss)
+    H, W = h * ss, w * ss
+    img = np.full((H, W), bg, dtype=np.float32)
+    order = np.argsort(-z)  # far to near
+    # Four distinct quadrant intensities per blob: steered BRIEF is
+    # rotation-invariant, so a uniform square's four corners would alias
+    # each other and the NN-ratio test would reject most true matches.
+    rng_q = np.random.default_rng(12345)
+    quad = rng_q.uniform(0.4, 1.6, size=(len(intensity), 2, 2)).astype(np.float32)
+    for i in order:
+        if not vis[i]:
+            continue
+        ri = int(round(r[i]))
+        yc, xc_ = int(round(v[i])), int(round(u[i]))
+        y0, y1 = yc - ri, yc + ri
+        x0, x1 = xc_ - ri, xc_ + ri
+        if y1 < 0 or x1 < 0 or y0 >= H or x0 >= W:
+            continue
+        for qy in range(2):
+            for qx in range(2):
+                yy0 = yc - ri if qy == 0 else yc
+                yy1 = yc if qy == 0 else yc + ri
+                xx0 = xc_ - ri if qx == 0 else xc_
+                xx1 = xc_ if qx == 0 else xc_ + ri
+                val = np.clip(intensity[i] * quad[i, qy, qx], 0, 255)
+                img[max(yy0, 0) : min(yy1, H), max(xx0, 0) : min(xx1, W)] = val
+    return img.reshape(h, ss, w, ss).mean(axis=(1, 3))
+
+
+def blob_world(n: int = 600, seed: int = 0):
+    """World blobs spread through the viewing volume of smooth_trajectory.
+
+    Depths chosen so per-keyframe baseline/depth stays in the few-percent
+    regime of the TUM fr1 sequences the reference is tuned for.
+    """
+    rng = np.random.default_rng(seed)
+    xw = np.c_[
+        rng.uniform(-5, 10, size=(n, 1)),
+        rng.uniform(-3, 3, size=(n, 1)),
+        rng.uniform(3, 9, size=(n, 1)),
+    ].astype(np.float32)
+    intensity = rng.uniform(40, 215, size=n).astype(np.float32)
+    world_size = rng.uniform(0.05, 0.12, size=n).astype(np.float32)
+    return xw, intensity, world_size
+
+
 def project_points(xw: np.ndarray, T: np.ndarray, K4) -> tuple[np.ndarray, np.ndarray]:
     """Project world points with pose T (3,4) and intrinsics [fx,fy,cx,cy].
 

@@ -1,0 +1,22 @@
+"""End-to-end monocular SLAM on a rendered synthetic sequence
+(SURVEY.md §4 tier (b) golden-trajectory test).
+
+Covers: extraction -> two-view init (+init BA) -> motion-model tracking ->
+local-map tracking -> keyframe policy -> triangulation -> fusion ->
+local BA -> culling -> trajectory export + ATE evaluation.
+"""
+
+import numpy as np
+import pytest
+
+import e2e_debug
+
+
+def test_monocular_synthetic_sequence(tmp_path):
+    ate, n_ok, n = e2e_debug.run(n_frames=30, verbose=False)
+    assert n_ok > 0.8 * n, f"tracked only {n_ok}/{n} frames"
+    assert ate < 0.05, f"ATE {ate:.4f} m"
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
