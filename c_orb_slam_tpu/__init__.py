@@ -30,4 +30,25 @@ import jax as _jax
 # matrices, image ops) opt in locally via jax.default_matmul_precision.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the SLAM pipeline is ~dozens of jitted
+# fixed-shape programs; on remote-compile TPU tunnels a cold compile of
+# the full set dominates wall time. The cache makes every process after
+# the first start at full speed (safe on CPU too). Opt out with
+# C_ORB_SLAM_TPU_NO_COMP_CACHE=1.
+import os as _os
+
+if not _os.environ.get("C_ORB_SLAM_TPU_NO_COMP_CACHE"):
+    # One cache per platform: a shared dir poisons local CPU runs with
+    # AOT executables compiled on the remote TPU host's different CPU
+    # (observed: cpu_aot_loader "machine features don't match" / SIGILL
+    # warnings when CPU runs followed axon-tunnel runs).
+    _platform = (_os.environ.get("JAX_PLATFORMS") or "default").split(",")[0]
+    _cache_dir = _os.environ.get(
+        "C_ORB_SLAM_TPU_COMP_CACHE",
+        _os.path.expanduser(f"~/.cache/c_orb_slam_tpu_xla_{_platform}"),
+    )
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 from c_orb_slam_tpu.config import SlamConfig, CameraConfig, OrbConfig  # noqa: F401

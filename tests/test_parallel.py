@@ -1,0 +1,89 @@
+"""Distributed-BA tests on the virtual 8-device CPU mesh.
+
+Covers what the reference cannot test at all (it has no distributed
+backend, SURVEY.md §2.3): that the observation-sharded BA produces the
+same result as the single-device solve, and that padding preserves it.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from c_orb_slam_tpu.optim import ba
+from c_orb_slam_tpu.parallel import dba
+
+
+def _make_problem(C=5, Pn=80, O=400, noise=0.02, seed=0):
+    rng = np.random.default_rng(seed)
+    cam_T = np.tile(np.eye(3, 4, dtype=np.float32), (C, 1, 1))
+    for c in range(C):
+        cam_T[c, 0, 3] = -0.15 * c
+    pts = np.c_[rng.uniform(-2, 2, (Pn, 2)), rng.uniform(4, 8, Pn)].astype(
+        np.float32
+    )
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    obs_pt = rng.integers(0, Pn, O).astype(np.int32)
+    xc = pts[obs_pt] + cam_T[obs_cam][:, :, 3]
+    uv = np.stack(
+        [
+            500 * xc[:, 0] / xc[:, 2] + 320,
+            500 * xc[:, 1] / xc[:, 2] + 240,
+            np.zeros(O, np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    # Fix TWO cameras: with mono observations only, a single fixed camera
+    # leaves the scale gauge free and the solver may converge to any
+    # uniformly-scaled reconstruction (all equally zero-residual).
+    p = ba.BAProblem(
+        cam_T=jnp.asarray(cam_T),
+        cam_fixed=jnp.asarray([True, True] + [False] * (C - 2)),
+        cam_valid=jnp.ones(C, bool),
+        points=jnp.asarray(pts + rng.normal(0, noise, pts.shape).astype(np.float32)),
+        point_valid=jnp.ones(Pn, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv),
+        obs_stereo=jnp.zeros(O, bool),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        K=jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32),
+        bf=jnp.asarray(0.0),
+    )
+    return p, pts
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return dba.make_mesh(jax.devices()[:8])
+
+
+def test_distributed_matches_single_device(mesh):
+    p, pts_gt = _make_problem()
+    single = ba.bundle_adjust(p, iters_first=5, iters_second=5, pcg_iters=30)
+    dist = dba.distributed_bundle_adjust(
+        dba.pad_observations(p, 8), mesh, iters_first=5, iters_second=5, pcg_iters=30
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.cam_T), np.asarray(single.cam_T), atol=2e-4
+    )
+    # Both must actually have solved the problem (points pulled to GT).
+    err = np.linalg.norm(np.asarray(dist.points) - pts_gt, axis=1)
+    assert np.median(err) < 5e-3
+
+
+def test_padding_is_inert(mesh):
+    p, _ = _make_problem(O=397)  # not divisible by 8
+    padded = dba.pad_observations(p, 8)
+    assert padded.obs_cam.shape[0] % 8 == 0
+    assert not bool(np.asarray(padded.obs_valid[-1]))
+    dist = dba.distributed_bundle_adjust(
+        padded, mesh, iters_first=5, iters_second=5, pcg_iters=30
+    )
+    single = ba.bundle_adjust(p, iters_first=5, iters_second=5, pcg_iters=30)
+    np.testing.assert_allclose(
+        np.asarray(dist.cam_T), np.asarray(single.cam_T), atol=5e-4
+    )
