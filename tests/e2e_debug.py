@@ -62,7 +62,7 @@ def run(n_frames=30, n_feat=800, verbose=True):
 
     poses, stamps = sysm.frame_poses()
     # Ground truth for the frames that produced poses.
-    ids = [fid for (fid, p, r, s) in sysm.tracker.trajectory if s == 1]
+    ids = [int(round(t * 10)) for t in stamps]  # stamps are i*0.1
     gt = traj[ids]
     ate = traj_io.ate_rmse(poses, gt, with_scale=True)
     print(f"\ntracked {len(poses)}/{n_frames} frames, ATE (scaled) = {ate:.4f} m")

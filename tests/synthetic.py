@@ -87,10 +87,13 @@ def render_scene(
     fx, fy, cx, cy = K4
     xc = xw @ T[:, :3].T + T[:, 3]
     z = xc[:, 2]
-    vis = z > 0.5
+    # Near-plane cull at 1.2m: a blob grazing the camera would otherwise
+    # paint a screen-filling rectangle that blankets the whole view (hit
+    # in practice by the orbit world's right-camera poses).
+    vis = z > 1.2
     u = ss * (fx * xc[:, 0] / np.maximum(z, 1e-6) + cx)
     v = ss * (fy * xc[:, 1] / np.maximum(z, 1e-6) + cy)
-    r = np.maximum(ss * world_size * fx / np.maximum(z, 1e-6), ss)
+    r = np.clip(ss * world_size * fx / np.maximum(z, 1e-6), ss, ss * 80)
     H, W = h * ss, w * ss
     img = np.full((H, W), bg, dtype=np.float32)
     order = np.argsort(-z)  # far to near
@@ -114,8 +117,15 @@ def render_scene(
                 yy1 = yc if qy == 0 else yc + ri
                 xx0 = xc_ - ri if qx == 0 else xc_
                 xx1 = xc_ if qx == 0 else xc_ + ri
+                # Clamp BOTH slice ends to [0, dim]: a negative end index
+                # (center just off-screen) would wrap around and paint
+                # nearly the entire image.
+                yy0, yy1 = max(yy0, 0), min(max(yy1, 0), H)
+                xx0, xx1 = max(xx0, 0), min(max(xx1, 0), W)
+                if yy1 <= yy0 or xx1 <= xx0:
+                    continue
                 val = np.clip(intensity[i] * quad[i, qy, qx], 0, 255)
-                img[max(yy0, 0) : min(yy1, H), max(xx0, 0) : min(xx1, W)] = val
+                img[yy0:yy1, xx0:xx1] = val
     return img.reshape(h, ss, w, ss).mean(axis=(1, 3))
 
 
@@ -134,6 +144,49 @@ def blob_world(n: int = 600, seed: int = 0):
     intensity = rng.uniform(40, 215, size=n).astype(np.float32)
     world_size = rng.uniform(0.05, 0.12, size=n).astype(np.float32)
     return xw, intensity, world_size
+
+
+def right_pose(T: np.ndarray, baseline: float) -> np.ndarray:
+    """World->cam pose of the right camera of a rectified stereo rig whose
+    left camera is at T: displaced +baseline along the left camera's x-axis,
+    same orientation, so x_c_right = x_c_left - [b, 0, 0]."""
+    Tr = T.copy()
+    Tr[0, 3] -= baseline
+    return Tr
+
+
+def render_stereo_pair(xw, intensity, world_size, T, K4, baseline, h=480, w=640):
+    """(left, right) rectified stereo images of the blob world."""
+    left = render_scene(xw, intensity, world_size, T, K4, h=h, w=w)
+    right = render_scene(
+        xw, intensity, world_size, right_pose(T, baseline), K4, h=h, w=w
+    )
+    return left, right
+
+
+def render_depth(xw, world_size, T, K4, h=480, w=640, bg=0.0):
+    """Painter's-algorithm depth map aligned with render_scene (billboards
+    treated as fronto-parallel: constant depth = blob-center z)."""
+    fx, fy, cx, cy = K4
+    xc = xw @ T[:, :3].T + T[:, 3]
+    z = xc[:, 2]
+    vis = z > 1.2  # keep in sync with render_scene's near-plane cull
+    u = fx * xc[:, 0] / np.maximum(z, 1e-6) + cx
+    v = fy * xc[:, 1] / np.maximum(z, 1e-6) + cy
+    r = np.clip(world_size * fx / np.maximum(z, 1e-6), 1, 80)
+    depth = np.full((h, w), bg, dtype=np.float32)
+    order = np.argsort(-z)
+    for i in order:
+        if not vis[i]:
+            continue
+        ri = int(round(r[i]))
+        yc, xc_ = int(round(v[i])), int(round(u[i]))
+        y0, y1 = max(yc - ri, 0), min(yc + ri, h)
+        x0, x1 = max(xc_ - ri, 0), min(xc_ + ri, w)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        depth[y0:y1, x0:x1] = z[i]
+    return depth
 
 
 def project_points(xw: np.ndarray, T: np.ndarray, K4) -> tuple[np.ndarray, np.ndarray]:
