@@ -264,6 +264,11 @@ class VocabularyConfig:
     # Frame.cc:400).
     levels_up: int = 2
     seed: int = 42
+    # Optional pretrained vocabulary (.npz from bow.vocab.save, or a
+    # DBoW2 .txt convertible via bow.vocab.load_dbow2_text). When absent
+    # the vocabulary is trained from the first keyframes of the run.
+    path: Optional[str] = None
+    train_keyframes: int = 4
 
 
 @dataclass(frozen=True)

@@ -110,10 +110,13 @@ def _calc_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
     # C: identity coefficient = (s-1)/sigma, limit 1 + sigma/2 at sigma->0.
     C = jnp.where(small_sig, 1.0 + sigma / 2.0 + sig2 / 6.0, (s - 1.0) / safe_sig)
 
-    # sigma != 0, theta != 0 general case.
+    # sigma != 0, theta != 0 general case. c_ must be clamped even though
+    # the branch is unselected near the origin: reverse-mode AD multiplies
+    # a zero cotangent by this branch's infinite partial (0 * inf = NaN)
+    # if the denominator can reach zero.
     a_ = s * sin_t
     b_ = s * cos_t
-    c_ = theta2 + sig2
+    c_ = jnp.where(small_sig & small_th, 1.0, theta2 + sig2)
     A_gen = (a_ * sigma + (1.0 - b_) * theta) / (safe_th * c_)
     B_gen = (C - ((b_ - 1.0) * sigma + a_ * theta) / c_) / safe_th2
 

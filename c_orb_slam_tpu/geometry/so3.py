@@ -175,7 +175,10 @@ def quat_log(q: jnp.ndarray) -> jnp.ndarray:
     q = quat_normalize(q)
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
     v = q[..., 1:]
-    sv = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Safe norm: jnp.linalg.norm has a NaN gradient at v = 0 (0/0 in the
+    # VJP), which poisons jacrev of any residual built on quat_log at the
+    # identity — the common linearization point of pose-graph edges.
+    sv = jnp.sqrt(jnp.maximum(jnp.sum(v * v, axis=-1, keepdims=True), _EPS**2))
     w = q[..., :1]
     angle = 2.0 * jnp.arctan2(sv, w)
     scale = jnp.where(sv < _EPS, 2.0 / jnp.maximum(w, _EPS), angle / jnp.maximum(sv, _EPS))

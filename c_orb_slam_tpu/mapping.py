@@ -493,6 +493,17 @@ class LocalMapping:
         col = mp.kf_mp[k]
         for feat in np.nonzero(col >= 0)[0]:
             mp.erase_observation(int(col[feat]), k)
+        # Record pose relative to the spanning parent for the trajectory
+        # recovery walk (reference: KeyFrame.cc:538 mTcp).
+        parent0 = mp.spanning_parent[k]
+        if parent0 >= 0:
+            Tp = mp.kf_pose[parent0]
+            Rp, tp = Tp[:, :3], Tp[:, 3]
+            Tp_inv = np.concatenate([Rp.T, (-Rp.T @ tp)[:, None]], axis=1)
+            mp.kf_Tcp[k] = (
+                np.vstack([mp.kf_pose[k], [0, 0, 0, 1.0]])[:3]
+                @ np.vstack([Tp_inv, [0, 0, 0, 1.0]])
+            ).astype(np.float32)
         mp.kf_valid[k] = False
         mp.covis[k, :] = 0
         mp.covis[:, k] = 0

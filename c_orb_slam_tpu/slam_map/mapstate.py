@@ -93,6 +93,10 @@ class MapState:
         self.kf_depth = np.full((Nk, Kp), -1.0, f32)
         self.kf_kp_valid = np.zeros((Nk, Kp), bool)
         self.kf_mp = np.full((Nk, Kp), -1, i64)
+        # Pose relative to spanning parent, recorded when a keyframe is
+        # culled (reference: KeyFrame::SetBadFlag stores mTcp for the
+        # trajectory-recovery walk, KeyFrame.cc:538 / System.cc:361-366).
+        self.kf_Tcp = np.tile(np.eye(3, 4, dtype=f32), (Nk, 1, 1))
         self.pt_xyz = np.zeros((Np, 3), f32)
         self.pt_desc = np.zeros((Np, 8), np.uint32)
         self.pt_normal = np.zeros((Np, 3), f32)
@@ -258,6 +262,23 @@ class MapState:
         self.covis[:, kf] = counts
         if self.spanning_parent[kf] < 0 and counts.max() > 0 and kf > 0:
             self.spanning_parent[kf] = int(np.argmax(counts))
+
+    def recover_pose(self, k: int):
+        """Current Tcw of keyframe k, walking culled keyframes to a live
+        spanning-tree ancestor via the stored relative poses (reference:
+        the SaveTrajectory walk, System.cc:361-366). None if no live
+        ancestor exists."""
+        acc = np.eye(4, dtype=np.float32)
+        guard = 0
+        while k >= 0 and not self.kf_valid[k] and guard < 256:
+            acc = acc @ np.vstack([self.kf_Tcp[k], [0, 0, 0, 1.0]])
+            k = int(self.spanning_parent[k])
+            guard += 1
+        if k < 0 or not self.kf_valid[k]:
+            return None
+        return (acc @ np.vstack([self.kf_pose[k], [0, 0, 0, 1.0]]))[:3].astype(
+            np.float32
+        )
 
     def covisible_keyframes(self, kf: int, n: int = 10, min_weight: int = 15):
         w = self.covis[kf].copy()

@@ -22,6 +22,7 @@ import numpy as np
 from c_orb_slam_tpu.config import SlamConfig, Sensor
 from c_orb_slam_tpu.frontend import frame as frame_mod
 from c_orb_slam_tpu.io import trajectory as traj_io
+from c_orb_slam_tpu.loop_closing import LoopClosing
 from c_orb_slam_tpu.mapping import LocalMapping
 from c_orb_slam_tpu.slam_map.mapstate import MapState
 from c_orb_slam_tpu.tracking import Tracking, TrackState
@@ -37,11 +38,25 @@ def _to_gray_f32(image) -> jnp.ndarray:
 
 
 class System:
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True):
         self.cfg = cfg
         self.map = MapState(cfg)
         self.tracker = Tracking(cfg, self.map)
         self.local_mapping = LocalMapping(cfg, self.map)
+        vocabulary = None
+        if cfg.vocabulary.path:
+            from c_orb_slam_tpu.bow import vocab as vocab_mod
+
+            if cfg.vocabulary.path.endswith(".txt"):
+                vocabulary = vocab_mod.load_dbow2_text(cfg.vocabulary.path)
+            else:
+                vocabulary = vocab_mod.load(cfg.vocabulary.path)
+        self.loop_closing = (
+            LoopClosing(cfg, self.map, vocabulary) if enable_loop_closing else None
+        )
+        if self.loop_closing is not None:
+            self.loop_closing.on_pose_correction = self._on_loop_correction
+            self.tracker.reloc_provider = self.loop_closing
         self.localization_only = False
         self.timestamps: list[float] = []
 
@@ -73,22 +88,52 @@ class System:
             new_kf = self.map.n_keyframes - 1
             if self.map.n_keyframes > 2:  # skip during initialization pair
                 self.local_mapping.process_keyframe(new_kf)
+            if self.loop_closing is not None:
+                # The mono init inserts two keyframes at once — index both.
+                for k in range(n_kf_before, self.map.n_keyframes):
+                    self.loop_closing.process_keyframe(k)
         return pose
+
+    def _on_loop_correction(self, kf: int, T_old: np.ndarray, T_new: np.ndarray):
+        """Re-anchor the tracker after a loop correction moved the map
+        (the reference's Tracking reads corrected poses through shared
+        memory; here the host hands the correction over explicitly)."""
+        import numpy as _np
+
+        # T_corr = T_new ∘ T_old^-1 (both world->cam).
+        R_old, t_old = T_old[:, :3], T_old[:, 3]
+        T_old_inv = _np.concatenate(
+            [R_old.T, (-R_old.T @ t_old)[:, None]], axis=1
+        ).astype(_np.float32)
+        T_corr = (
+            T_new @ _np.vstack([T_old_inv, [0, 0, 0, 1.0]])
+        ).astype(_np.float32)
+        if self.tracker.last_pose is not None:
+            self.tracker.last_pose = (
+                T_corr @ _np.vstack([self.tracker.last_pose, [0, 0, 0, 1.0]])
+            ).astype(_np.float32)
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
         """Reference: System::ActivateLocalizationMode (System.cc:127-135):
         stops mapping; tracking continues against the frozen map."""
         self.localization_only = True
+        self.tracker.only_tracking = True
 
     def deactivate_localization_mode(self):
         self.localization_only = False
+        self.tracker.only_tracking = False
 
     def reset(self):
         """Reference: System::Reset -> Tracking::Reset (Tracking.cc:1504)."""
         self.map = MapState(self.cfg)
         self.tracker = Tracking(self.cfg, self.map)
         self.local_mapping = LocalMapping(self.cfg, self.map)
+        if self.loop_closing is not None:
+            voc = self.loop_closing.voc  # keep the (possibly trained) vocab
+            self.loop_closing = LoopClosing(self.cfg, self.map, voc)
+            self.loop_closing.on_pose_correction = self._on_loop_correction
+            self.tracker.reloc_provider = self.loop_closing
         self.timestamps = []
 
     def shutdown(self):
@@ -107,19 +152,69 @@ class System:
 
     def frame_poses(self) -> tuple[np.ndarray, list]:
         """(F, 3, 4) per-frame Tcw for frames where tracking succeeded,
-        with matching timestamps."""
+        with matching timestamps. Reconstructed as T_cr · T_rw from the
+        CURRENT map pose of each frame's reference keyframe (walking culled
+        keyframes through the spanning tree) so loop/GBA corrections are
+        reflected retroactively (reference: System.cc:345-380)."""
         poses, stamps = [], []
-        for (fid, pose, ref, state), t in zip(
+        for (fid, T_cr, ref, state), t in zip(
             self.tracker.trajectory, self.timestamps
         ):
-            if state == TrackState.OK:
-                poses.append(pose)
-                stamps.append(t)
+            if state != TrackState.OK:
+                continue
+            if ref >= 0:
+                T_rw = self.map.recover_pose(ref)
+                if T_rw is None:
+                    continue
+                pose = (
+                    np.vstack([T_cr, [0, 0, 0, 1.0]])[:3]
+                    @ np.vstack([T_rw, [0, 0, 0, 1.0]])
+                ).astype(np.float32)
+            else:
+                pose = T_cr
+            poses.append(pose)
+            stamps.append(t)
         return np.asarray(poses), stamps
 
     def keyframe_poses(self) -> np.ndarray:
         live = self.map.live_keyframes()
         return self.map.kf_pose[live]
+
+    def save_map(self, path: str):
+        """Checkpoint the full map + vocabulary (the reference's
+        never-implemented SaveMap TODO, System.h:115-117)."""
+        from c_orb_slam_tpu.io import checkpoint
+
+        voc = self.loop_closing.voc if self.loop_closing else None
+        checkpoint.save_map(path, self.map, voc)
+
+    @classmethod
+    def from_saved_map(
+        cls, path: str, cfg: SlamConfig, localization_only: bool = True
+    ) -> "System":
+        """Start from a stored map: relocalize-then-track (enables the
+        localization mode the reference gates behind its missing LoadMap)."""
+        from c_orb_slam_tpu.io import checkpoint
+        from c_orb_slam_tpu.tracking import TrackState
+
+        sysm = cls(cfg)
+        m, voc = checkpoint.load_map(path, cfg)
+        sysm.map = m
+        sysm.tracker = Tracking(cfg, m)
+        sysm.local_mapping = LocalMapping(cfg, m)
+        if sysm.loop_closing is not None:
+            sysm.loop_closing = LoopClosing(cfg, m, voc)
+            sysm.loop_closing.on_pose_correction = sysm._on_loop_correction
+            sysm.tracker.reloc_provider = sysm.loop_closing
+            if voc is not None:
+                for k in m.live_keyframes():
+                    sysm.loop_closing._index_keyframe(int(k))
+        live = m.live_keyframes()
+        sysm.tracker.ref_kf = int(live[-1]) if len(live) else -1
+        sysm.tracker.state = TrackState.LOST  # relocalize on first frame
+        sysm.localization_only = localization_only
+        sysm.tracker.only_tracking = localization_only
+        return sysm
 
     def save_trajectory_tum(self, path: str):
         poses, stamps = self.frame_poses()

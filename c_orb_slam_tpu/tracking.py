@@ -89,6 +89,9 @@ class Tracking:
         self.cfg = cfg
         self.map = mapstate
         self.state = TrackState.NOT_INITIALIZED
+        # Localization-only: track against a frozen map, never insert
+        # keyframes (reference: Tracking.mbOnlyTracking, Tracking.cc:272).
+        self.only_tracking = False
         self.K = camera.intrinsics_array(cfg.camera)
         self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
         self.inv_sigma2_levels = jnp.asarray(
@@ -107,7 +110,11 @@ class Tracking:
         self._init_frame: Optional[frame_mod.FrameData] = None
         self._init_frame_id = -1
         self._rng = jax.random.PRNGKey(cfg.vocabulary.seed)
-        # Per-frame trajectory log: (frame_id, Tcw (3,4), ref_kf, state)
+        # Per-frame trajectory log: (frame_id, T_cr (3,4) pose RELATIVE to
+        # ref_kf, ref_kf, state). Storing relative poses means loop/GBA
+        # corrections retroactively fix the whole exported trajectory
+        # (reference: Tracking.cc:488-505 mlRelativeFramePoses +
+        # System.cc:345-380 reconstruction).
         self.trajectory: list = []
         self.current_inliers = 0
 
@@ -160,7 +167,7 @@ class Tracking:
                 self.velocity = np.asarray(vel)
             self.state = TrackState.OK
             self.last_pose = np.asarray(pose)
-            if self._need_new_keyframe(f, cur_mp):
+            if not self.only_tracking and self._need_new_keyframe(f, cur_mp):
                 self._create_keyframe(f, cur_mp)
                 self.frames_since_kf = 0
             else:
@@ -177,8 +184,19 @@ class Tracking:
     # ------------------------------------------------------------------
     def _log_frame(self):
         if self.last_pose is not None:
+            T_cr = self.last_pose
+            if self.ref_kf >= 0:
+                Tr = self.map.kf_pose[self.ref_kf]
+                Rr, tr = Tr[:, :3], Tr[:, 3]
+                Tr_inv = np.concatenate(
+                    [Rr.T, (-Rr.T @ tr)[:, None]], axis=1
+                )
+                T_cr = (
+                    np.vstack([self.last_pose, [0, 0, 0, 1.0]])[:3]
+                    @ np.vstack([Tr_inv, [0, 0, 0, 1.0]])
+                ).astype(np.float32)
             self.trajectory.append(
-                (self.frame_id, self.last_pose.copy(), self.ref_kf, self.state)
+                (self.frame_id, T_cr.copy(), self.ref_kf, self.state)
             )
 
     def _check_replaced_last(self):
@@ -482,16 +500,24 @@ class Tracking:
         return True, pose, cur_mp
 
     def _relocalize(self, f: frame_mod.FrameData):
-        """Global relocalization (reference: Tracking.cc:1341-1502).
-
-        Until the BoW database lands (M4), candidates are all keyframes
-        ranked by descriptor-match count — same downstream PnP flow.
+        """Global relocalization (reference: Tracking.cc:1341-1502):
+        BoW candidates from the keyframe database when available
+        (reloc_provider, set by System), else recent keyframes; then the
+        same match -> P4P RANSAC -> pose-opt flow.
         """
         live = self.map.live_keyframes()
         if len(live) == 0:
             return False, None, None
+        candidates = None
+        provider = getattr(self, "reloc_provider", None)
+        if provider is not None:
+            candidates = provider.reloc_candidates(
+                np.asarray(f.desc), np.asarray(f.valid)
+            )
+        if not candidates:
+            candidates = live[-10:]  # fallback: most recent keyframes
         best = None
-        for k in live[-10:]:  # most recent keyframes as candidates
+        for k in candidates:
             kf_mp = self.map.kf_mp[k]
             has = kf_mp >= 0
             if has.sum() < 15:
