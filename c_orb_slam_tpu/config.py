@@ -293,19 +293,57 @@ class SlamConfig:
 # documents, not strict YAML — parse the flat key: value lines directly).
 # ---------------------------------------------------------------------------
 
-_YAML_KEY_RE = re.compile(r"^([A-Za-z0-9_.]+)\s*:\s*(.+?)\s*$")
+_YAML_KEY_RE = re.compile(r"^([A-Za-z0-9_.]+)\s*:\s*(.*?)\s*$")
 
 
 def _parse_opencv_yaml(text: str) -> dict:
+    """Flat `key: value` pairs plus `!!opencv-matrix` blocks (rows/cols/
+    data), which the EuRoC stereo YAML uses for the LEFT.*/RIGHT.*
+    rectification matrices (reference: Examples/Stereo/EuRoC.yaml:37-80,
+    consumed by stereo_euroc.cc:72-87). Matrix values are returned as
+    nested lists (rows x cols)."""
     out: dict = {}
-    for line in text.splitlines():
-        line = line.split("#", 1)[0].rstrip()
-        if not line or line.startswith("%"):
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].split("#", 1)[0].rstrip()
+        i += 1
+        if not line or line.lstrip().startswith("%"):
             continue
         m = _YAML_KEY_RE.match(line)
         if not m:
             continue
         key, val = m.group(1), m.group(2)
+        if "opencv-matrix" in val or (val == "" and i < len(lines)):
+            # Gather the indented block: rows / cols / dt / data.
+            rows = cols = None
+            data: list[float] = []
+            while i < len(lines):
+                sub = lines[i].split("#", 1)[0]
+                if not sub.strip():
+                    i += 1
+                    continue
+                if not sub.startswith((" ", "\t")):
+                    break
+                s = sub.strip()
+                if s.startswith("rows:"):
+                    rows = int(s.split(":", 1)[1])
+                elif s.startswith("cols:"):
+                    cols = int(s.split(":", 1)[1])
+                elif s.startswith("data:") or data or s.startswith("["):
+                    chunk = s.split(":", 1)[1] if s.startswith("data:") else s
+                    for tok in chunk.replace("[", " ").replace("]", " ").replace(
+                        ",", " "
+                    ).split():
+                        data.append(float(tok))
+                i += 1
+            if rows and cols and len(data) == rows * cols:
+                out[key] = [
+                    data[r * cols : (r + 1) * cols] for r in range(rows)
+                ]
+            continue
+        if val == "":
+            continue
         try:
             out[key] = int(val)
         except ValueError:
@@ -314,6 +352,13 @@ def _parse_opencv_yaml(text: str) -> dict:
             except ValueError:
                 out[key] = val.strip("\"'")
     return out
+
+
+def load_yaml_raw(path: str) -> dict:
+    """All key/value pairs of a reference-format settings YAML, including
+    opencv-matrix blocks (e.g. the EuRoC LEFT.*/RIGHT.* entries)."""
+    with open(path) as f:
+        return _parse_opencv_yaml(f.read())
 
 
 def load_yaml(path: str, sensor: int = Sensor.MONOCULAR) -> SlamConfig:

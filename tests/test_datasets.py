@@ -1,0 +1,168 @@
+"""Dataset loaders, YAML matrix parsing, rectification, and the example
+CLI drivers, exercised on synthetic on-disk datasets (M6; reference:
+Examples/*.cc drivers + their LoadImages functions)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from c_orb_slam_tpu.config import _parse_opencv_yaml
+from c_orb_slam_tpu.datasets import load_euroc, load_kitti, load_tum_rgb
+from c_orb_slam_tpu.frontend.rectify import (
+    StereoRectifier,
+    init_undistort_rectify_map,
+    remap_bilinear,
+)
+
+from synthetic import blob_world, render_stereo_pair, smooth_trajectory
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE = 0.2
+
+SETTINGS_YAML = """%YAML:1.0
+Camera.fx: 500.0
+Camera.fy: 500.0
+Camera.cx: 320.0
+Camera.cy: 240.0
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 10.0
+Camera.bf: 100.0
+Camera.RGB: 1
+ThDepth: 35.0
+ORBextractor.nFeatures: 600
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 4
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+@pytest.fixture(scope="module")
+def kitti_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("kitti_seq")
+    (d / "image_0").mkdir()
+    (d / "image_1").mkdir()
+    n = 10
+    xw, inten, size = blob_world(400, seed=5)
+    traj = smooth_trajectory(n)
+    with open(d / "times.txt", "w") as f:
+        for i in range(n):
+            f.write(f"{i * 0.1:.6e}\n")
+    for i in range(n):
+        l, r = render_stereo_pair(
+            xw, inten, size, traj[i], (500, 500, 320, 240), BASELINE
+        )
+        Image.fromarray(l.astype(np.uint8), "L").save(d / "image_0" / f"{i:06d}.png")
+        Image.fromarray(r.astype(np.uint8), "L").save(d / "image_1" / f"{i:06d}.png")
+    y = d / "settings.yaml"
+    y.write_text(SETTINGS_YAML)
+    return d
+
+
+def test_kitti_loader(kitti_dir):
+    stamps, left, right = load_kitti(str(kitti_dir))
+    assert len(stamps) == len(left) == len(right) == 10
+    assert all(os.path.exists(p) for p in left + right)
+
+
+def test_tum_loader(tmp_path):
+    (tmp_path / "rgb").mkdir()
+    with open(tmp_path / "rgb.txt", "w") as f:
+        f.write("# color images\n# file\n# timestamp filename\n")
+        for i in range(5):
+            f.write(f"13050312{i:02d}.342 rgb/{i}.png\n")
+    stamps, paths = load_tum_rgb(str(tmp_path))
+    assert len(stamps) == 5
+    assert paths[2].endswith("rgb/2.png")
+
+
+def test_euroc_loader(tmp_path):
+    for cam in ("cam0", "cam1"):
+        (tmp_path / cam / "data").mkdir(parents=True)
+        with open(tmp_path / cam / "data.csv", "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for i in range(6):
+                # right cam misses frame 3: pair matching must drop it
+                if cam == "cam1" and i == 3:
+                    continue
+                f.write(f"140363679{i}000000000,{i}.png\n")
+    stamps, left, right = load_euroc(str(tmp_path))
+    assert len(stamps) == len(left) == len(right) == 5
+    assert not any("3.png" in p for p in left)
+
+
+def test_opencv_matrix_yaml():
+    text = """%YAML:1.0
+Camera.fx: 435.2
+LEFT.height: 480
+LEFT.width: 752
+LEFT.D: !!opencv-matrix
+   rows: 1
+   cols: 5
+   dt: d
+   data: [-0.28, 0.07, 0.0002, 1.76e-05, 0.0]
+LEFT.K: !!opencv-matrix
+   rows: 3
+   cols: 3
+   dt: d
+   data: [458.654, 0.0, 367.215, 0.0, 457.296, 248.375, 0.0, 0.0, 1.0]
+"""
+    kv = _parse_opencv_yaml(text)
+    assert kv["Camera.fx"] == 435.2
+    assert kv["LEFT.width"] == 752
+    K = np.asarray(kv["LEFT.K"])
+    assert K.shape == (3, 3) and K[0, 0] == 458.654 and K[1, 2] == 248.375
+    D = np.asarray(kv["LEFT.D"]).ravel()
+    assert D.shape == (5,) and D[3] == 1.76e-05
+
+
+def test_rectify_identity_and_distortion():
+    K = np.array([[500.0, 0, 64], [0, 500.0, 48], [0, 0, 1]])
+    # Identity rectification: map must be (approximately) the pixel grid.
+    m = init_undistort_rectify_map(K, np.zeros(5), np.eye(3), K, (128, 96))
+    u, v = np.meshgrid(np.arange(128), np.arange(96))
+    np.testing.assert_allclose(m[..., 0], u, atol=1e-4)
+    np.testing.assert_allclose(m[..., 1], v, atol=1e-4)
+    # Identity remap returns the image unchanged (away from the border).
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+    out = np.asarray(remap_bilinear(img, m))
+    np.testing.assert_allclose(out[1:-1, 1:-1], img[1:-1, 1:-1], atol=1e-3)
+    # With distortion the map must differ more at the corners than center.
+    md = init_undistort_rectify_map(K, [-0.3, 0.1, 0, 0, 0], np.eye(3), K, (128, 96))
+    d = np.hypot(md[..., 0] - u, md[..., 1] - v)
+    assert d[48, 64] < 0.5 < d[0, 0]
+
+
+def test_stereo_kitti_cli_runs(kitti_dir, tmp_path):
+    """Drive the real CLI end-to-end on the synthetic KITTI sequence."""
+    out = tmp_path / "traj.txt"
+    kf_out = tmp_path / "kf.txt"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "examples", "stereo_kitti.py"),
+            str(kitti_dir / "settings.yaml"), str(kitti_dir),
+            "--out", str(out), "--kf-out", str(kf_out),
+            "--no-realtime", "--max-frames", "8",
+        ],
+        capture_output=True, text=True, timeout=560, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "median tracking time" in r.stdout
+    lines = out.read_text().strip().splitlines()
+    assert len(lines) >= 6, f"only {len(lines)} poses exported"
+    assert len(lines[0].split()) == 12  # KITTI: flattened 3x4
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q", "-x"])
