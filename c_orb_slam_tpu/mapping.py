@@ -27,6 +27,7 @@ from c_orb_slam_tpu.geometry import camera, se3, triangulate
 from c_orb_slam_tpu.ops import match
 from c_orb_slam_tpu.optim import ba
 from c_orb_slam_tpu.slam_map.mapstate import MapState
+from c_orb_slam_tpu.utils.host import fetch
 
 import os
 
@@ -52,6 +53,128 @@ def _fundamental_from_poses(T1, T2, K):
     )
     Kinv = jnp.linalg.inv(Km)
     return Kinv.T @ tx @ R @ Kinv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _triangulate_pairs_batch(
+    cfg: SlamConfig,
+    T1: jnp.ndarray,
+    xy1: jnp.ndarray,
+    oct1: jnp.ndarray,
+    desc1: jnp.ndarray,
+    free1: jnp.ndarray,
+    T2s: jnp.ndarray,
+    xy2s: jnp.ndarray,
+    oct2s: jnp.ndarray,
+    desc2s: jnp.ndarray,
+    free2s: jnp.ndarray,
+    pair_valid: jnp.ndarray,
+    K: jnp.ndarray,
+    sigma2: jnp.ndarray,
+):
+    """Epipolar match + ray triangulation + acceptance gates for ALL
+    covisible neighbor pairs in one dispatch (reference:
+    LocalMapping.cc:207-452 loops neighbors sequentially; here lax.map
+    keeps a single program and a single readback).
+
+    Gate notes: reprojection at 5.991·sigma2 (reference :363-393); scale
+    consistency within 1.5·scaleFactor (reference :395-431). Parallax —
+    the reference accepts >1.15 deg (cos<0.9998, :299-320); our corner
+    noise floor is higher than OpenCV-FAST-on-real-texture, so ~2 deg.
+    """
+    sf = cfg.orb.scale_factor
+    rf = 1.5 * sf
+    c1 = se3.translation(se3.inverse(T1))
+    s1 = sigma2[oct1]
+
+    def per_pair(args):
+        T2, xy2, oct2, desc2, free2, pv = args
+        F12 = _fundamental_from_poses(T1, T2, K)
+        emask = match.epipolar_mask(F12, xy1, xy2, sigma2, oct2)
+        oct_ok = jnp.abs(oct1[:, None] - oct2[None, :]) <= 1
+        m = match.match(
+            desc1, desc2, free1 & pv, free2,
+            pair_mask=emask & oct_ok,
+            max_dist=cfg.matcher.th_low,
+            nn_ratio=cfg.matcher.nn_ratio_mapping,
+        )
+        uv2 = xy2[m.idx]
+        xw, cos_par = triangulate.triangulate_rays(xy1, uv2, T1, T2, K, K)
+        z1 = triangulate.depth_in(T1, xw)
+        z2 = triangulate.depth_in(T2, xw)
+        e1 = jnp.sum((camera.project(se3.apply(T1, xw), K) - xy1) ** 2, axis=1)
+        e2 = jnp.sum((camera.project(se3.apply(T2, xw), K) - uv2) ** 2, axis=1)
+        s2 = sigma2[oct2[m.idx]]
+        c2 = se3.translation(se3.inverse(T2))
+        d1 = jnp.linalg.norm(xw - c1, axis=1)
+        d2 = jnp.linalg.norm(xw - c2, axis=1)
+        ratio_dist = d2 / jnp.maximum(d1, 1e-9)
+        ratio_oct = sf ** oct1.astype(jnp.float32) / sf ** oct2[m.idx].astype(
+            jnp.float32
+        )
+        good = (
+            m.valid
+            & (cos_par < 0.99939)
+            & (z1 > 0) & (z2 > 0)
+            & (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
+            & (ratio_dist * rf > ratio_oct) & (ratio_dist < ratio_oct * rf)
+        )
+        return m.idx, good, xw
+
+    return jax.lax.map(
+        per_pair, (T2s, xy2s, oct2s, desc2s, free2s, pair_valid)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _fuse_pairs_batch(
+    cfg: SlamConfig,
+    T_dst: jnp.ndarray,
+    dst_xy: jnp.ndarray,
+    dst_octave: jnp.ndarray,
+    dst_desc: jnp.ndarray,
+    dst_kp_valid: jnp.ndarray,
+    pt_xyz: jnp.ndarray,
+    pt_normal: jnp.ndarray,
+    pt_min_dist: jnp.ndarray,
+    pt_max_dist: jnp.ndarray,
+    pt_desc: jnp.ndarray,
+    pt_mask: jnp.ndarray,
+    K: jnp.ndarray,
+    sf: jnp.ndarray,
+):
+    """Frustum + projection-guided fuse matching for ALL (src→dst) pairs
+    in one dispatch (reference: ORBmatcher.cc:825-975 Fuse, called per
+    neighbor from LocalMapping::SearchInNeighbors :454-534)."""
+    from c_orb_slam_tpu.tracking import frustum_check
+
+    def per_pair(args):
+        T, xy, octv, desc, kp_valid, xyz, normal, dmin, dmax, pdesc, pmask = args
+        in_view, uv, octave, _ = frustum_check(
+            T, xyz, normal, dmin, dmax, pmask, K,
+            img_w=cfg.camera.width,
+            img_h=cfg.camera.height,
+            log_scale=float(np.log(cfg.orb.scale_factor)),
+            n_levels=cfg.orb.n_levels,
+        )
+        radii = 3.0 * sf[octave]
+        m = match.search_by_projection(
+            uv, radii, pdesc, in_view,
+            xy, octv, desc, kp_valid,
+            jnp.maximum(octave - 1, 0),
+            jnp.minimum(octave + 1, cfg.orb.n_levels - 1),
+            max_dist=cfg.matcher.th_low,
+            nn_ratio=1.0,
+        )
+        return m.idx, m.valid
+
+    return jax.lax.map(
+        per_pair,
+        (
+            T_dst, dst_xy, dst_octave, dst_desc, dst_kp_valid,
+            pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_desc, pt_mask,
+        ),
+    )
 
 
 class LocalMapping:
@@ -106,7 +229,8 @@ class LocalMapping:
     # ------------------------------------------------------------------
     def _create_new_points(self, kf: int):
         """Triangulate unmatched keypoints against covisible neighbors
-        (reference: LocalMapping.cc:207-452)."""
+        (reference: LocalMapping.cc:207-452) — all neighbor pairs in one
+        batched dispatch + one readback."""
         n_neigh = (
             self.cfg.mapping.triangulation_neighbors_mono
             if self.cfg.sensor == Sensor.MONOCULAR
@@ -117,6 +241,7 @@ class LocalMapping:
         c1 = self.map.keyframe_center(kf)
         med_depth = self._median_depth(kf)
 
+        pairs = []
         for k2 in neighbors:
             c2 = self.map.keyframe_center(k2)
             baseline = float(np.linalg.norm(c2 - c1))
@@ -127,7 +252,66 @@ class LocalMapping:
             else:
                 if baseline < self.cfg.camera.baseline:
                     continue
-            self._triangulate_pair(kf, k2)
+            pairs.append(k2)
+        if not pairs:
+            return
+        self._triangulate_batch(kf, pairs, n_pad=n_neigh)
+
+    def _triangulate_batch(self, k1: int, k2s: list[int], n_pad: int):
+        mp = self.map
+        free1 = mp.kf_kp_valid[k1] & (mp.kf_mp[k1] < 0)
+        if free1.sum() < 5:
+            return
+        P = n_pad  # static pair capacity: compile once per config
+        ks = (k2s + [k2s[-1]] * P)[:P]
+        pair_valid = np.zeros(P, bool)
+        pair_valid[: min(len(k2s), P)] = True
+        free2 = mp.kf_kp_valid[ks] & (mp.kf_mp[ks] < 0)
+        pair_valid &= free2.sum(axis=1) >= 5
+        if not pair_valid.any():
+            return
+
+        idx2, good, xw = fetch(
+            *_triangulate_pairs_batch(
+                self.cfg,
+                jnp.asarray(T1 := mp.kf_pose[k1]),
+                jnp.asarray(mp.kf_xy[k1]),
+                jnp.asarray(mp.kf_octave[k1]),
+                jnp.asarray(mp.kf_desc[k1]),
+                jnp.asarray(free1),
+                jnp.asarray(mp.kf_pose[ks]),
+                jnp.asarray(mp.kf_xy[ks]),
+                jnp.asarray(mp.kf_octave[ks]),
+                jnp.asarray(mp.kf_desc[ks]),
+                jnp.asarray(free2),
+                jnp.asarray(pair_valid),
+                self.K,
+                jnp.asarray(self.sigma2),
+            )
+        )
+        del T1
+        n_new = 0
+        for pi in range(P):
+            if not pair_valid[pi]:
+                continue
+            k2 = ks[pi]
+            sel = np.nonzero(good[pi])[0]
+            for i in sel:
+                # A feature may match in several pairs — first winner takes
+                # it (the reference's sequential loop has the same effect).
+                if mp.kf_mp[k1, i] >= 0 or mp.kf_mp[k2, idx2[pi, i]] >= 0:
+                    continue
+                p = mp.add_point(xw[pi, i], mp.kf_desc[k1][i], k1)
+                mp.add_observation(p, k1, int(i))
+                mp.add_observation(p, k2, int(idx2[pi, i]))
+                mp.update_point_descriptor_and_normal(p)
+                self.recent_points.append((p, k1))
+                n_new += 1
+        if n_new:
+            mp.update_connections(k1)
+            for k2 in set(k2s):
+                mp.update_connections(k2)
+        _dbg(f"tri batch kf={k1}: pairs={len(k2s)} new={n_new}")
 
     def _median_depth(self, kf: int) -> float:
         mp = self.map.kf_mp[kf]
@@ -138,188 +322,93 @@ class LocalMapping:
         z = self.map.pt_xyz[pts] @ T[2, :3] + T[2, 3]
         return float(np.median(z))
 
-    def _triangulate_pair(self, k1: int, k2: int):
-        mp = self.map
-        cfg = self.cfg
-        free1 = mp.kf_kp_valid[k1] & (mp.kf_mp[k1] < 0)
-        free2 = mp.kf_kp_valid[k2] & (mp.kf_mp[k2] < 0)
-        if free1.sum() < 5 or free2.sum() < 5:
-            return
-        T1, T2 = mp.kf_pose[k1], mp.kf_pose[k2]
-        F12 = _fundamental_from_poses(T1, T2, self.K)
-        emask = match.epipolar_mask(
-            F12,
-            jnp.asarray(mp.kf_xy[k1]),
-            jnp.asarray(mp.kf_xy[k2]),
-            jnp.asarray(self.sigma2),
-            jnp.asarray(mp.kf_octave[k2]),
-        )
-        oct_ok = (
-            jnp.abs(
-                jnp.asarray(mp.kf_octave[k1])[:, None]
-                - jnp.asarray(mp.kf_octave[k2])[None, :]
-            )
-            <= 1
-        )
-        m = match.match(
-            jnp.asarray(mp.kf_desc[k1]),
-            jnp.asarray(mp.kf_desc[k2]),
-            jnp.asarray(free1),
-            jnp.asarray(free2),
-            pair_mask=emask & oct_ok,
-            max_dist=cfg.matcher.th_low,
-            nn_ratio=cfg.matcher.nn_ratio_mapping,
-        )
-        ok = np.asarray(m.valid)
-        if ok.sum() == 0:
-            return
-        idx2 = np.asarray(m.idx)
-
-        uv1 = jnp.asarray(mp.kf_xy[k1])
-        uv2 = jnp.asarray(mp.kf_xy[k2][idx2])
-        xw, cos_par = triangulate.triangulate_rays(
-            uv1, uv2, jnp.asarray(T1), jnp.asarray(T2), self.K, self.K
-        )
-        z1 = triangulate.depth_in(jnp.asarray(T1), xw)
-        z2 = triangulate.depth_in(jnp.asarray(T2), xw)
-
-        # Reprojection gates at 5.991 * sigma2 (reference :363-393).
-        def reproj_err(T, uv):
-            xc = se3.apply(jnp.asarray(T), xw)
-            pr = camera.project(xc, self.K)
-            return jnp.sum((pr - uv) ** 2, axis=1)
-
-        e1 = reproj_err(T1, uv1)
-        e2 = reproj_err(T2, uv2)
-        s1 = jnp.asarray(self.sigma2)[mp.kf_octave[k1]]
-        s2 = jnp.asarray(self.sigma2)[mp.kf_octave[k2][idx2]]
-
-        # Parallax gate: the reference accepts >1.15 deg (cos<0.9998,
-        # LocalMapping.cc:299-320); our corner noise floor is higher than
-        # OpenCV-FAST-on-real-texture, and points born near the gate
-        # amplify inter-KF pose error by depth/baseline — require ~2 deg.
-        good = (
-            ok
-            & np.asarray(cos_par < 0.99939)
-            & np.asarray((z1 > 0) & (z2 > 0))
-            & np.asarray((e1 < 5.991 * s1) & (e2 < 5.991 * s2))
-        )
-        _dbg(
-            f"tri pair ({k1},{k2}): free=({int(free1.sum())},{int(free2.sum())})"
-            f" matches={int(ok.sum())}"
-            f" par={int((ok & np.asarray(cos_par < 0.9998)).sum())}"
-            f" depth={int((ok & np.asarray((z1 > 0) & (z2 > 0))).sum())}"
-            f" reproj={int((ok & np.asarray((e1 < 5.991 * s1) & (e2 < 5.991 * s2))).sum())}"
-            f" good={int(good.sum())}"
-        )
-        # Scale-consistency gate (reference :395-431): distance ratio vs
-        # octave scale ratio within 1.5 * ratioFactor.
-        c1 = mp.keyframe_center(k1)
-        c2c = mp.keyframe_center(k2)
-        xw_np = np.asarray(xw)
-        d1 = np.linalg.norm(xw_np - c1, axis=1)
-        d2 = np.linalg.norm(xw_np - c2c, axis=1)
-        sf = cfg.orb.scale_factor
-        ratio_dist = d2 / np.maximum(d1, 1e-9)
-        ratio_oct = (
-            sf ** (mp.kf_octave[k1].astype(np.float32))
-            / sf ** (mp.kf_octave[k2][idx2].astype(np.float32))
-        )
-        rf = 1.5 * sf
-        good &= (ratio_dist * rf > ratio_oct) & (ratio_dist < ratio_oct * rf)
-
-        for i in np.nonzero(good)[0]:
-            p = mp.add_point(xw_np[i], mp.kf_desc[k1][i], k1)
-            mp.add_observation(p, k1, int(i))
-            mp.add_observation(p, k2, int(idx2[i]))
-            mp.update_point_descriptor_and_normal(p)
-            self.recent_points.append((p, k1))
-        if good.sum():
-            mp.update_connections(k1)
-            mp.update_connections(k2)
-
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, kf: int):
         """Two-way duplicate fusion with first/second-order neighbors
-        (reference: LocalMapping.cc:454-534 SearchInNeighbors)."""
-        neighbors = self.map.covisible_keyframes(kf, n=10, min_weight=15)
+        (reference: LocalMapping.cc:454-534 SearchInNeighbors) — every
+        (src→dst) pair matched in one batched dispatch + one readback;
+        the merge bookkeeping stays on host."""
+        mp = self.map
+        neighbors = mp.covisible_keyframes(kf, n=10, min_weight=15)
         ring = set(neighbors)
         for k in list(neighbors)[:5]:
-            for k2 in self.map.covisible_keyframes(k, n=5, min_weight=15):
+            for k2 in mp.covisible_keyframes(k, n=5, min_weight=15):
                 if k2 != kf:
                     ring.add(k2)
-        for k2 in ring:
-            self._fuse_pair(kf, k2)  # kf's points into k2
-            self._fuse_pair(k2, kf)  # k2's points into kf
-        self.map.update_connections(kf)
-
-    def _fuse_pair(self, src: int, dst: int):
-        """Project src's map points into dst; merge duplicates / add
-        missing observations (reference: ORBmatcher.cc:825-975 Fuse).
-
-        Gathers are padded to the per-KF keypoint capacity so the jitted
-        kernels compile once."""
-        mp = self.map
-        src_pts = mp.kf_mp[src]
-        has = src_pts >= 0
-        if has.sum() == 0:
+        if not ring:
             return
-        pts_live = np.unique(src_pts[has])
-        pts_live = pts_live[mp.pt_valid[pts_live]]
-        if len(pts_live) == 0:
-            return
-        cap = mp.kf_mp.shape[1]  # keypoint capacity bounds unique points
-        pts = np.full(cap, -1, np.int64)
-        pts[: len(pts_live)] = pts_live[:cap]
-        safe = np.maximum(pts, 0)
-        # Full frustum + scale-range + viewing-angle gating, with predicted
-        # octave (reference Fuse checks all of these, ORBmatcher.cc:854-933).
-        from c_orb_slam_tpu.tracking import frustum_check
+        pairs = []
+        for k2 in sorted(ring):
+            pairs.append((kf, k2))  # kf's points into k2
+            pairs.append((k2, kf))  # k2's points into kf
 
-        in_view, uv, octave, _ = frustum_check(
-            jnp.asarray(mp.kf_pose[dst]),
-            jnp.asarray(mp.pt_xyz[safe]),
-            jnp.asarray(mp.pt_normal[safe]),
-            jnp.asarray(mp.pt_min_dist[safe]),
-            jnp.asarray(mp.pt_max_dist[safe]),
-            jnp.asarray(pts >= 0),
-            self.K,
-            img_w=self.cfg.camera.width,
-            img_h=self.cfg.camera.height,
-            log_scale=float(np.log(self.cfg.orb.scale_factor)),
-            n_levels=self.cfg.orb.n_levels,
+        # Gather per-pair host data; skip pairs with no live src points.
+        cap = mp.kf_mp.shape[1]
+        live_pairs, pts_per_pair = [], []
+        for src, dst in pairs:
+            src_pts = mp.kf_mp[src]
+            has = src_pts >= 0
+            if not has.any():
+                continue
+            pts_live = np.unique(src_pts[has])
+            pts_live = pts_live[mp.pt_valid[pts_live]]
+            if len(pts_live) == 0:
+                continue
+            pts = np.full(cap, -1, np.int64)
+            pts[: len(pts_live)] = pts_live[:cap]
+            live_pairs.append((src, dst))
+            pts_per_pair.append(pts)
+        if not live_pairs:
+            return
+        # Pad the pair axis to a power-of-two bucket: few distinct compiles.
+        P = max(8, 1 << (len(live_pairs) - 1).bit_length())
+        n_real = len(live_pairs)
+        while len(live_pairs) < P:
+            live_pairs.append(live_pairs[-1])
+            pts_per_pair.append(np.full(cap, -1, np.int64))
+        pts_arr = np.stack(pts_per_pair)  # (P, cap)
+        safe = np.maximum(pts_arr, 0)
+        dsts = [d for _, d in live_pairs]
+
+        m_idx, m_valid = fetch(
+            *_fuse_pairs_batch(
+                self.cfg,
+                jnp.asarray(mp.kf_pose[dsts]),
+                jnp.asarray(mp.kf_xy[dsts]),
+                jnp.asarray(mp.kf_octave[dsts]),
+                jnp.asarray(mp.kf_desc[dsts]),
+                jnp.asarray(mp.kf_kp_valid[dsts]),
+                jnp.asarray(mp.pt_xyz[safe]),
+                jnp.asarray(mp.pt_normal[safe]),
+                jnp.asarray(mp.pt_min_dist[safe]),
+                jnp.asarray(mp.pt_max_dist[safe]),
+                jnp.asarray(mp.pt_desc[safe]),
+                jnp.asarray(pts_arr >= 0),
+                self.K,
+                jnp.asarray(self.sf),
+            )
         )
-        if not bool(in_view.any()):
-            return
-        radii = 3.0 * jnp.asarray(self.sf)[octave]
-        m = match.search_by_projection(
-            uv, radii,
-            jnp.asarray(mp.pt_desc[safe]),
-            in_view,
-            jnp.asarray(mp.kf_xy[dst]),
-            jnp.asarray(mp.kf_octave[dst]),
-            jnp.asarray(mp.kf_desc[dst]),
-            jnp.asarray(mp.kf_kp_valid[dst]),
-            jnp.maximum(octave - 1, 0),
-            jnp.minimum(octave + 1, self.cfg.orb.n_levels - 1),
-            max_dist=self.cfg.matcher.th_low,
-            nn_ratio=1.0,
-        )
-        ok = np.asarray(m.valid) & (pts >= 0)
-        idx = np.asarray(m.idx)
-        for i in np.nonzero(ok)[0]:
-            p = int(pts[i])
-            feat = int(idx[i])
-            existing = int(mp.kf_mp[dst, feat])
-            if existing >= 0 and mp.pt_valid[existing]:
-                if existing != p:
-                    # Keep the point with more observations.
-                    if mp.pt_n_obs[existing] >= mp.pt_n_obs[p]:
-                        mp.replace_point(p, existing)
-                    else:
-                        mp.replace_point(existing, p)
-            else:
-                mp.add_observation(p, dst, feat)
+        for pi in range(n_real):
+            _, dst = live_pairs[pi]
+            pts = pts_arr[pi]
+            ok = m_valid[pi] & (pts >= 0)
+            idx = m_idx[pi]
+            for i in np.nonzero(ok)[0]:
+                p = int(pts[i])
+                if not mp.pt_valid[p]:
+                    continue  # merged away by an earlier pair
+                feat = int(idx[i])
+                existing = int(mp.kf_mp[dst, feat])
+                if existing >= 0 and mp.pt_valid[existing]:
+                    if existing != p:
+                        # Keep the point with more observations.
+                        if mp.pt_n_obs[existing] >= mp.pt_n_obs[p]:
+                            mp.replace_point(p, existing)
+                        else:
+                            mp.replace_point(existing, p)
+                else:
+                    mp.add_observation(p, dst, feat)
+        mp.update_connections(kf)
 
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int):
@@ -341,7 +430,6 @@ class LocalMapping:
         if len(pts):
             pts = pts[mp.pt_valid[pts]]
         pts = pts[: cap.local_ba_max_points]
-        pt_slot = {int(p): i for i, p in enumerate(pts)}
 
         # Fixed frontier: keyframes observing local points but not local.
         frontier = set()
@@ -378,32 +466,42 @@ class LocalMapping:
         points[: len(pts)] = mp.pt_xyz[pts]
         point_valid[: len(pts)] = True
 
+        # Vectorized observation assembly (the reference builds g2o edges
+        # one virtual call at a time, Optimizer.cc:520-650).
+        inv_sigma2 = 1.0 / self.sigma2
+        Mo = mp.pt_obs_kf.shape[1]
+        obs_kf_all = mp.pt_obs_kf[pts]  # (Pl, Mo)
+        obs_feat_all = mp.pt_obs_feat[pts]
+        slot_of_kf = np.full(mp.kf_pose.shape[0], -1, np.int32)
+        for k, i in cam_slot.items():
+            slot_of_kf[k] = i
+        ci_all = np.where(obs_kf_all >= 0, slot_of_kf[obs_kf_all], -1)
+        keep = ci_all >= 0
+        si_all = np.broadcast_to(
+            np.arange(len(pts), dtype=np.int32)[:, None], keep.shape
+        )
+        sel_p, sel_o = np.nonzero(keep)
+        sel_p, sel_o = sel_p[:O], sel_o[:O]
+        n_obs = len(sel_p)
+        kfs_sel = obs_kf_all[sel_p, sel_o]
+        feats_sel = obs_feat_all[sel_p, sel_o]
+
         obs_cam = np.zeros(O, np.int32)
         obs_pt = np.zeros(O, np.int32)
         obs_uv = np.zeros((O, 3), np.float32)
         obs_stereo = np.zeros(O, bool)
         obs_isig = np.ones(O, np.float32)
         obs_valid = np.zeros(O, bool)
-        obs_src = []  # (pt, kf, feat) for outlier erase
-        n_obs = 0
-        inv_sigma2 = 1.0 / self.sigma2
-        for si, p in enumerate(pts):
-            n = mp.pt_n_obs[p]
-            for k, feat in zip(mp.pt_obs_kf[p, :n], mp.pt_obs_feat[p, :n]):
-                if k < 0 or int(k) not in cam_slot or n_obs >= O:
-                    continue
-                ci = cam_slot[int(k)]
-                obs_cam[n_obs] = ci
-                obs_pt[n_obs] = si
-                uv = mp.kf_xy[k, feat]
-                ur = mp.kf_ur[k, feat]
-                stereo = ur > 0
-                obs_uv[n_obs] = [uv[0], uv[1], ur if stereo else 0.0]
-                obs_stereo[n_obs] = stereo
-                obs_isig[n_obs] = inv_sigma2[mp.kf_octave[k, feat]]
-                obs_valid[n_obs] = True
-                obs_src.append((int(p), int(k), int(feat)))
-                n_obs += 1
+        obs_cam[:n_obs] = ci_all[sel_p, sel_o]
+        obs_pt[:n_obs] = si_all[sel_p, sel_o]
+        uv_sel = mp.kf_xy[kfs_sel, feats_sel]
+        ur_sel = mp.kf_ur[kfs_sel, feats_sel]
+        stereo_sel = ur_sel > 0
+        obs_uv[:n_obs, :2] = uv_sel
+        obs_uv[:n_obs, 2] = np.where(stereo_sel, ur_sel, 0.0)
+        obs_stereo[:n_obs] = stereo_sel
+        obs_isig[:n_obs] = inv_sigma2[mp.kf_octave[kfs_sel, feats_sel]]
+        obs_valid[:n_obs] = True
 
         problem = ba.BAProblem(
             cam_T=jnp.asarray(cam_T),
@@ -428,26 +526,24 @@ class LocalMapping:
             chi2_stereo=self.cfg.optimizer.chi2_stereo,
             pcg_iters=self.cfg.optimizer.pcg_iters,
         )
+        new_T, new_pts, inlier = fetch(
+            result.cam_T, result.points, result.obs_inlier
+        )
         _dbg(
             f"localBA: cams={len(cams)} local={len(local)} fixed={int(cam_fixed[cam_valid].sum())}"
             f" pts={len(pts)} obs={n_obs}"
-            f" inliers={int(np.asarray(result.obs_inlier).sum())}"
-            f" chi2={float(result.final_chi2):.2f}"
+            f" inliers={int(inlier.sum())}"
         )
-        new_T = np.asarray(result.cam_T)
-        new_pts = np.asarray(result.points)
-        inlier = np.asarray(result.obs_inlier)
         for k, i in cam_slot.items():
             if not cam_fixed[i]:
                 mp.kf_pose[k] = new_T[i]
         mp.pt_xyz[pts] = new_pts[: len(pts)]
         # Erase outlier observations (reference: Optimizer.cc:745-757).
-        for oi in range(n_obs):
-            if not inlier[oi] and obs_valid[oi]:
-                p, k, feat = obs_src[oi]
-                mp.erase_observation(p, k)
-                if mp.pt_n_obs[p] <= 1:
-                    mp.erase_point(p)
+        for oi in np.nonzero(~inlier[:n_obs] & obs_valid[:n_obs])[0]:
+            p = int(pts[obs_pt[oi]])
+            mp.erase_observation(p, int(kfs_sel[oi]))
+            if mp.pt_n_obs[p] <= 1:
+                mp.erase_point(p)
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, kf: int):

@@ -23,10 +23,11 @@ import numpy as np
 
 from c_orb_slam_tpu.config import SlamConfig, Sensor
 from c_orb_slam_tpu.frontend import frame as frame_mod
-from c_orb_slam_tpu.geometry import camera, se3
+from c_orb_slam_tpu.geometry import camera, np_se3, se3
 from c_orb_slam_tpu.ops import hamming, match, pnp, twoview
 from c_orb_slam_tpu.optim import pose_opt
 from c_orb_slam_tpu.slam_map.mapstate import MapState
+from c_orb_slam_tpu.utils.host import fetch
 
 import os
 
@@ -80,6 +81,163 @@ def frustum_check(
     octave = jnp.clip(octave, 0, n_levels - 1)
     in_view = pt_valid & (z > 0) & in_img & range_ok & (view_cos > view_cos_limit)
     return in_view, uv, octave, view_cos
+
+
+def _pose_opt_over_queries(cfg: SlamConfig, T0, q_xyz, m, f, inv_sigma2_levels, K):
+    """Motion-only GN where each row is a matched map point (query):
+    observation = the frame keypoint the query matched."""
+    obs_uv = f.xy[m.idx]
+    ur = f.ur[m.idx]
+    is_stereo = (ur > 0) & m.valid
+    obs = jnp.concatenate(
+        [obs_uv, jnp.where(is_stereo, ur, 0.0)[:, None]], axis=1
+    )
+    inv_s2 = inv_sigma2_levels[f.octave[m.idx]]
+    return pose_opt.optimize_pose(
+        T0, q_xyz, obs, inv_s2, is_stereo, m.valid, K,
+        float(cfg.camera.bf),
+        rounds=cfg.optimizer.pose_opt_rounds,
+        iters=cfg.optimizer.pose_opt_its,
+        chi2_mono=cfg.optimizer.chi2_mono,
+        chi2_stereo=cfg.optimizer.chi2_stereo,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _motion_model_step(
+    cfg: SlamConfig,
+    T_pred: jnp.ndarray,
+    q_xyz: jnp.ndarray,
+    q_desc: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_octave: jnp.ndarray,
+    f: frame_mod.FrameData,
+    K: jnp.ndarray,
+    inv_sigma2_levels: jnp.ndarray,
+    sf: jnp.ndarray,
+):
+    """Fused motion-model tracking step: project last frame's points,
+    window-matched Hamming search, motion-only pose GN — one dispatch,
+    one readback (reference: Tracking.cc:867-928 + Optimizer.cc:239)."""
+    xc = se3.apply(T_pred, q_xyz)
+    uv = camera.project(xc, K)
+    z_ok = xc[:, 2] > 0
+    radii = 15.0 * sf[q_octave]
+    lo = jnp.maximum(q_octave - 1, 0)
+    hi = jnp.minimum(q_octave + 1, cfg.orb.n_levels - 1)
+    m = match.search_by_projection(
+        uv, radii, q_desc, q_valid & z_ok,
+        f.xy, f.octave, f.desc, f.valid, lo, hi,
+        max_dist=cfg.matcher.th_high,
+        nn_ratio=cfg.matcher.nn_ratio_tracking,
+    )
+    result = _pose_opt_over_queries(
+        cfg, T_pred, q_xyz, m, f, inv_sigma2_levels, K
+    )
+    return m.idx, m.valid, result.pose, result.inliers, result.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _ref_kf_step(
+    cfg: SlamConfig,
+    T0: jnp.ndarray,
+    q_xyz: jnp.ndarray,
+    q_desc: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_angle: jnp.ndarray,
+    f: frame_mod.FrameData,
+    K: jnp.ndarray,
+    inv_sigma2_levels: jnp.ndarray,
+):
+    """Fused reference-keyframe tracking step (reference:
+    Tracking.cc:757-799; BoW-accelerated there, dense masked here)."""
+    m = match.match(
+        q_desc, f.desc, q_valid, f.valid,
+        max_dist=cfg.matcher.th_low, nn_ratio=0.7,
+    )
+    ok = match.rotation_consistency(q_angle, f.angle[m.idx], m.valid)
+    m = m._replace(valid=ok)
+    result = _pose_opt_over_queries(
+        cfg, T0, q_xyz, m, f, inv_sigma2_levels, K
+    )
+    return m.idx, m.valid, result.pose, result.inliers, result.n_inliers
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _local_map_step(
+    cfg: SlamConfig,
+    T0: jnp.ndarray,
+    pt_xyz: jnp.ndarray,
+    pt_normal: jnp.ndarray,
+    pt_min_dist: jnp.ndarray,
+    pt_max_dist: jnp.ndarray,
+    pt_desc: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    pt_fresh: jnp.ndarray,
+    seed_xyz: jnp.ndarray,
+    seed_valid: jnp.ndarray,
+    f: frame_mod.FrameData,
+    K: jnp.ndarray,
+    inv_sigma2_levels: jnp.ndarray,
+    sf: jnp.ndarray,
+):
+    """Fused local-map tracking: frustum cull, projection search over the
+    covisibility-local point set, pose GN over seed+new matches — one
+    dispatch, one readback (reference: Tracking.cc:930-974, 1143-1230).
+
+    Search radius: 2.5 px scaled, widened to 4.0 for oblique views
+    (reference: ORBmatcher.cc:131-137 RadiusByViewingCos). Octave gate
+    widened vs the reference's [o-1, o] — the predicted octave degrades
+    with scale drift, and a tight gate turns drift into match starvation
+    (observed in synthetic runs)."""
+    in_view, uv, octave, view_cos = frustum_check(
+        T0, pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_valid, K,
+        img_w=cfg.camera.width,
+        img_h=cfg.camera.height,
+        log_scale=float(np.log(cfg.orb.scale_factor)),
+        n_levels=cfg.orb.n_levels,
+    )
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radii = r * sf[octave]
+    lo = jnp.maximum(octave - 2, 0)
+    hi = jnp.minimum(octave + 1, cfg.orb.n_levels - 1)
+    free_t = f.valid & ~seed_valid
+    m = match.search_by_projection(
+        uv, radii, pt_desc, in_view & pt_fresh,
+        f.xy, f.octave, f.desc, free_t, lo, hi,
+        max_dist=cfg.matcher.th_high,
+        nn_ratio=cfg.matcher.nn_ratio_mapping + 0.2,
+    )
+    # Per-feature assignment: scatter query index to its matched feature
+    # (unique_targets guarantees injectivity; invalid rows land out of
+    # bounds and drop).
+    n_feat = f.xy.shape[0]
+    n_q = pt_xyz.shape[0]
+    feat_q = jnp.full((n_feat,), -1, jnp.int32)
+    feat_q = feat_q.at[jnp.where(m.valid, m.idx, n_feat)].set(
+        jnp.arange(n_q, dtype=jnp.int32), mode="drop"
+    )
+    feat_new = feat_q >= 0
+    xyz_feat = jnp.where(
+        feat_new[:, None], pt_xyz[jnp.maximum(feat_q, 0)], seed_xyz
+    )
+    valid_feat = feat_new | seed_valid
+    is_stereo = (f.ur > 0) & valid_feat
+    obs = jnp.concatenate(
+        [f.xy, jnp.where(is_stereo, f.ur, 0.0)[:, None]], axis=1
+    )
+    result = pose_opt.optimize_pose(
+        T0, xyz_feat, obs, inv_sigma2_levels[f.octave], is_stereo,
+        valid_feat, K, float(cfg.camera.bf),
+        rounds=cfg.optimizer.pose_opt_rounds,
+        iters=cfg.optimizer.pose_opt_its,
+        chi2_mono=cfg.optimizer.chi2_mono,
+        chi2_stereo=cfg.optimizer.chi2_stereo,
+    )
+    return (
+        in_view, m.idx, m.valid,
+        result.pose, result.inliers, result.n_inliers,
+    )
 
 
 class Tracking:
@@ -155,16 +313,13 @@ class Tracking:
         if ok:
             # Motion model: velocity = T_cur * T_last^-1, with the rotation
             # part damped (see TrackingConfig.velocity_rotation_fraction).
+            # Pure host math (numpy): no device round trip per frame.
             if self.last_pose is not None:
-                vel = se3.compose(
-                    jnp.asarray(pose), se3.inverse(jnp.asarray(self.last_pose))
-                )
+                vel = np_se3.compose(pose, np_se3.inverse(self.last_pose))
                 frac = self.cfg.tracking.velocity_rotation_fraction
                 if frac < 1.0:
-                    w = se3.log(vel)
-                    w = w.at[3:].multiply(frac)
-                    vel = se3.exp(w)
-                self.velocity = np.asarray(vel)
+                    vel = np_se3.scale_rotation(vel, frac)
+                self.velocity = vel
             self.state = TrackState.OK
             self.last_pose = np.asarray(pose)
             if not self.only_tracking and self._need_new_keyframe(f, cur_mp):
@@ -235,22 +390,20 @@ class Tracking:
         # pyramid level 0, ORBmatcher.cc:415): all octaves participate —
         # our per-cell selection yields ~4x fewer level-0 features than
         # OpenCV FAST, and H/F estimation is octave-agnostic.
-        valid0 = np.asarray(m.valid)
+        # Run match + two-view RANSAC back-to-back on device and read all
+        # results down in one batched transfer.
+        res = twoview.initialize(
+            f0.xy, f.xy[m.idx], m.valid, self.K, self._next_key(),
+            n_hypotheses=self.cfg.capacity.ransac_init_iters,
+        )
+        valid0, idx1, res_ok, good, pts, T21d = fetch(
+            m.valid, m.idx, res.ok, res.good, res.points, res.T21
+        )
         if valid0.sum() < self.cfg.tracking.min_init_matches:
             self._init_frame = None
             return
-
-        uv1 = f0.xy
-        uv2 = f.xy[m.idx]
-        res = twoview.initialize(
-            uv1, uv2, jnp.asarray(valid0), self.K, self._next_key(),
-            n_hypotheses=self.cfg.capacity.ransac_init_iters,
-        )
-        if not bool(res.ok):
+        if not bool(res_ok):
             return
-
-        good = np.asarray(res.good)
-        pts = np.asarray(res.points)
         # Median-depth scale normalization (reference: Tracking.cc:689-713).
         depths = pts[good, 2]
         med = float(np.median(depths))
@@ -259,33 +412,32 @@ class Tracking:
             return
         inv_med = 1.0 / med
         pts = pts * inv_med
-        T21 = np.array(res.T21)
+        T21 = np.array(T21d)
         T21[:, 3] *= inv_med
 
         # Create the two keyframes + points.
-        mp0 = self._create_initial_map(f0, f, m, good, pts, T21)
+        mp0 = self._create_initial_map(f0, f, idx1, good, pts, T21)
         self.state = TrackState.OK
         self.last_pose = T21
         self.velocity = None
         self.last_mp = mp0
         self._init_frame = None
 
-    def _create_initial_map(self, f0, f1, m, good, pts, T21):
+    def _create_initial_map(self, f0, f1, idx1, good, pts, T21):
         mp = self.map
+        f0h = frame_mod.FrameData(*fetch(*f0))
+        f1h = frame_mod.FrameData(*fetch(*f1))
         k0 = mp.add_keyframe(
             self._init_frame_id, np.eye(3, 4, dtype=np.float32),
-            np.asarray(f0.xy), np.asarray(f0.octave), np.asarray(f0.angle),
-            np.asarray(f0.desc), np.asarray(f0.valid),
+            f0h.xy, f0h.octave, f0h.angle, f0h.desc, f0h.valid,
         )
         k1 = mp.add_keyframe(
             self.frame_id, T21,
-            np.asarray(f1.xy), np.asarray(f1.octave), np.asarray(f1.angle),
-            np.asarray(f1.desc), np.asarray(f1.valid),
+            f1h.xy, f1h.octave, f1h.angle, f1h.desc, f1h.valid,
         )
-        idx1 = np.asarray(m.idx)
-        cur_mp = np.full(f1.xy.shape[0], -1, np.int64)
+        cur_mp = np.full(f1h.xy.shape[0], -1, np.int64)
         for i in np.nonzero(good)[0]:
-            p = mp.add_point(pts[i], np.asarray(f0.desc)[i], k0)
+            p = mp.add_point(pts[i], f0h.desc[i], k0)
             mp.add_observation(p, k0, int(i))
             mp.add_observation(p, k1, int(idx1[i]))
             mp.update_point_descriptor_and_normal(p)
@@ -340,12 +492,14 @@ class Tracking:
             K=self.K,
             bf=jnp.asarray(0.0),
         )
-        cam_T, points = ba_mod.optimize(
-            problem, iters=self.cfg.optimizer.init_ba_its, use_huber=True,
-            pcg_iters=self.cfg.optimizer.pcg_iters,
+        cam_T, points = fetch(
+            *ba_mod.optimize(
+                problem, iters=self.cfg.optimizer.init_ba_its, use_huber=True,
+                pcg_iters=self.cfg.optimizer.pcg_iters,
+            )
         )
-        mp.kf_pose[k1] = np.asarray(cam_T[1])
-        mp.pt_xyz[pts] = np.asarray(points)
+        mp.kf_pose[k1] = cam_T[1]
+        mp.pt_xyz[pts] = points
         # Re-normalize to median depth 1 after BA (the BA can drift the
         # free scale gauge of a two-view mono map).
         T = mp.kf_pose[k0]
@@ -358,24 +512,30 @@ class Tracking:
 
     def _stereo_initialization(self, f: frame_mod.FrameData):
         """Bootstrap from depth (reference: Tracking.cc:509-561)."""
-        n_depth = int(jnp.sum((f.depth > 0) & f.valid))
+        fh = frame_mod.FrameData(*fetch(*f))
+        n_depth = int(((fh.depth > 0) & fh.valid).sum())
         if n_depth < self.cfg.tracking.min_stereo_init_points:
             return
         mp = self.map
         pose = np.eye(3, 4, dtype=np.float32)
         k0 = mp.add_keyframe(
             self.frame_id, pose,
-            np.asarray(f.xy), np.asarray(f.octave), np.asarray(f.angle),
-            np.asarray(f.desc), np.asarray(f.valid),
-            ur=np.asarray(f.ur), depth=np.asarray(f.depth),
+            fh.xy, fh.octave, fh.angle, fh.desc, fh.valid,
+            ur=fh.ur, depth=fh.depth,
         )
-        xyz = np.asarray(
-            camera.backproject(f.xy, f.depth, self.K)
-        )
-        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
-        sel = np.nonzero(np.asarray(f.valid) & (np.asarray(f.depth) > 0))[0]
+        Kc = np.asarray(self.K)
+        xyz = np.stack(
+            [
+                (fh.xy[:, 0] - Kc[2]) * fh.depth / Kc[0],
+                (fh.xy[:, 1] - Kc[3]) * fh.depth / Kc[1],
+                fh.depth,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        cur_mp = np.full(fh.xy.shape[0], -1, np.int64)
+        sel = np.nonzero(fh.valid & (fh.depth > 0))[0]
         for i in sel:
-            p = mp.add_point(xyz[i], np.asarray(f.desc)[i], k0)
+            p = mp.add_point(xyz[i], fh.desc[i], k0)
             mp.add_observation(p, k0, int(i))
             mp.update_point_descriptor_and_normal(p)
             cur_mp[i] = p
@@ -419,15 +579,14 @@ class Tracking:
             chi2_mono=self.cfg.optimizer.chi2_mono,
             chi2_stereo=self.cfg.optimizer.chi2_stereo,
         )
-        return (
-            np.asarray(result.pose),
-            np.asarray(result.inliers),
-            int(result.n_inliers),
-        )
+        pose, inl, n = fetch(result.pose, result.inliers, result.n_inliers)
+        return pose, inl, int(n)
 
     def _track_motion_model(self, f: frame_mod.FrameData):
         """Project last frame's points with constant-velocity prior
-        (reference: Tracking.cc:867-928 + ORBmatcher.cc:1328)."""
+        (reference: Tracking.cc:867-928 + ORBmatcher.cc:1328).
+
+        One fused device step (match + pose GN) and one readback."""
         T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
         T_pred = T_pred[:3].astype(np.float32)
 
@@ -435,66 +594,62 @@ class Tracking:
         if last_has.sum() < 10:
             return False, None, None
         idx = np.maximum(self.last_mp, 0)
-        xyz = jnp.asarray(self.map.pt_xyz[idx])
-        desc = jnp.asarray(self.map.pt_desc[idx])
-        xc = se3.apply(jnp.asarray(T_pred), xyz)
-        uv = camera.project(xc, self.K)
-        z_ok = xc[:, 2] > 0
-
-        th = 15.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
-        radii = th * jnp.asarray(self.sf)[self.last_frame.octave]
-        lo = jnp.maximum(self.last_frame.octave - 1, 0)
-        hi = jnp.minimum(
-            self.last_frame.octave + 1, self.cfg.orb.n_levels - 1
+        m_idx, m_valid, pose, inl, n = fetch(
+            *_motion_model_step(
+                self.cfg,
+                jnp.asarray(T_pred),
+                jnp.asarray(self.map.pt_xyz[idx]),
+                jnp.asarray(self.map.pt_desc[idx]),
+                jnp.asarray(last_has),
+                self.last_frame.octave,
+                f,
+                self.K,
+                self.inv_sigma2_levels,
+                jnp.asarray(self.sf),
+            )
         )
-        m = match.search_by_projection(
-            uv, radii, desc, jnp.asarray(last_has) & z_ok,
-            f.xy, f.octave, f.desc, f.valid, lo, hi,
-            max_dist=self.cfg.matcher.th_high,
-            nn_ratio=self.cfg.matcher.nn_ratio_tracking,
-        )
-        ok_np = np.asarray(m.valid)
-        if ok_np.sum() < 20:
+        if m_valid.sum() < 20:
             return False, None, None
-        # Build current-frame point assignment.
         cur_mp = np.full(f.xy.shape[0], -1, np.int64)
-        tgt = np.asarray(m.idx)[ok_np]
-        cur_mp[tgt] = self.last_mp[ok_np]
-
-        pose, inl, n = self._optimize_frame_pose(f, T_pred, cur_mp)
-        cur_mp[~inl] = -1
+        good_q = m_valid & inl
+        cur_mp[m_idx[good_q]] = self.last_mp[good_q]
         if n < self.cfg.tracking.min_inliers_pose:
             return False, None, None
         return True, pose, cur_mp
 
     def _track_reference_kf(self, f: frame_mod.FrameData):
         """Match against the reference keyframe's map points (reference:
-        Tracking.cc:757-799; BoW-accelerated there, dense masked here)."""
+        Tracking.cc:757-799; BoW-accelerated there, dense masked here).
+
+        One fused device step and one readback."""
         k = self.ref_kf
         if k < 0:
             return False, None, None
         kf_mp = self.map.kf_mp[k]
         has = kf_mp >= 0
-        m = match.match(
-            jnp.asarray(self.map.kf_desc[k]),
-            f.desc,
-            jnp.asarray(has & self.map.kf_kp_valid[k]),
-            f.valid,
-            max_dist=self.cfg.matcher.th_low,
-            nn_ratio=0.7,
+        T0 = (
+            self.last_pose
+            if self.last_pose is not None
+            else np.eye(3, 4, dtype=np.float32)
         )
-        ok_np = np.asarray(
-            match.rotation_consistency(
-                jnp.asarray(self.map.kf_angle[k]), f.angle[m.idx], m.valid
+        m_idx, m_valid, pose, inl, n = fetch(
+            *_ref_kf_step(
+                self.cfg,
+                jnp.asarray(T0),
+                jnp.asarray(self.map.pt_xyz[np.maximum(kf_mp, 0)]),
+                jnp.asarray(self.map.kf_desc[k]),
+                jnp.asarray(has & self.map.kf_kp_valid[k]),
+                jnp.asarray(self.map.kf_angle[k]),
+                f,
+                self.K,
+                self.inv_sigma2_levels,
             )
         )
-        if ok_np.sum() < 15:
+        if m_valid.sum() < 15:
             return False, None, None
         cur_mp = np.full(f.xy.shape[0], -1, np.int64)
-        cur_mp[np.asarray(m.idx)[ok_np]] = kf_mp[ok_np]
-        T0 = self.last_pose if self.last_pose is not None else np.eye(3, 4, dtype=np.float32)
-        pose, inl, n = self._optimize_frame_pose(f, T0, cur_mp)
-        cur_mp[~inl] = -1
+        good_q = m_valid & inl
+        cur_mp[m_idx[good_q]] = kf_mp[good_q]
         if n < self.cfg.tracking.min_inliers_pose:
             return False, None, None
         return True, pose, cur_mp
@@ -511,12 +666,14 @@ class Tracking:
         candidates = None
         provider = getattr(self, "reloc_provider", None)
         if provider is not None:
-            candidates = provider.reloc_candidates(
-                np.asarray(f.desc), np.asarray(f.valid)
-            )
+            f_desc, f_kp_valid = fetch(f.desc, f.valid)
+            candidates = provider.reloc_candidates(f_desc, f_kp_valid)
         if not candidates:
             candidates = live[-10:]  # fallback: most recent keyframes
-        best = None
+        # Dispatch every candidate's match, then read all counts + results
+        # down in ONE batched transfer (the reference iterates candidates
+        # with early exits, Tracking.cc:1370-1439; latency dominates here).
+        pending = []
         for k in candidates:
             kf_mp = self.map.kf_mp[k]
             has = kf_mp >= 0
@@ -527,36 +684,42 @@ class Tracking:
                 jnp.asarray(has & self.map.kf_kp_valid[k]), f.valid,
                 max_dist=self.cfg.matcher.th_low, nn_ratio=0.75,
             )
-            n = int(m.count())
+            pending.append((int(k), m))
+        if not pending:
+            return False, None, None
+        fetched = fetch(*[x for _, m in pending for x in (m.idx, m.valid)])
+        best = None
+        for (k, _), i in zip(pending, range(0, len(fetched), 2)):
+            m_idx, m_valid = fetched[i], fetched[i + 1]
+            n = int(m_valid.sum())
             if best is None or n > best[0]:
-                best = (n, k, m)
+                best = (n, k, m_idx, m_valid)
         if best is None or best[0] < 15:
             return False, None, None
-        _, k, m = best
+        _, k, m_idx, ok_np = best
         kf_mp = self.map.kf_mp[k]
-        ok_np = np.asarray(m.valid)
         cap = f.xy.shape[0]  # pad to keypoint capacity: compile once
         sel = np.full(cap, -1, np.int64)
         nz = np.nonzero(ok_np)[0]
         sel[: len(nz)] = nz
         safe = np.maximum(sel, 0)
         pt_idx = np.where(sel >= 0, kf_mp[safe], 0)
-        uv = np.asarray(f.xy)[np.asarray(m.idx)[safe]]
         res = pnp.solve_pnp_ransac(
             jnp.asarray(self.map.pt_xyz[pt_idx]),
-            jnp.asarray(uv),
+            f.xy[jnp.asarray(m_idx[safe])],
             jnp.asarray(sel >= 0),
-            self.inv_sigma2_levels[np.asarray(f.octave)[np.asarray(m.idx)[safe]]],
+            self.inv_sigma2_levels[f.octave[jnp.asarray(m_idx[safe])]],
             self.K,
             self._next_key(),
             n_hypotheses=self.cfg.capacity.ransac_pnp_iters,
         )
-        if not bool(res.ok):
+        res_ok, res_inliers, res_pose = fetch(res.ok, res.inliers, res.pose)
+        if not bool(res_ok):
             return False, None, None
         cur_mp = np.full(f.xy.shape[0], -1, np.int64)
-        inl = np.asarray(res.inliers) & (sel >= 0)
-        cur_mp[np.asarray(m.idx)[safe[inl]]] = pt_idx[inl]
-        pose, pin, n = self._optimize_frame_pose(f, np.asarray(res.pose), cur_mp)
+        inl = res_inliers & (sel >= 0)
+        cur_mp[m_idx[safe[inl]]] = pt_idx[inl]
+        pose, pin, n = self._optimize_frame_pose(f, res_pose, cur_mp)
         cur_mp[~pin] = -1
         if n < self.cfg.tracking.min_inliers_pose:
             return False, None, None
@@ -579,62 +742,49 @@ class Tracking:
         pts_pad[: len(local_pts)] = local_pts
         safe = np.maximum(pts_pad, 0)
 
-        in_view, uv, octave, view_cos = frustum_check(
-            jnp.asarray(pose),
-            jnp.asarray(self.map.pt_xyz[safe]),
-            jnp.asarray(self.map.pt_normal[safe]),
-            jnp.asarray(self.map.pt_min_dist[safe]),
-            jnp.asarray(self.map.pt_max_dist[safe]),
-            jnp.asarray(pts_pad >= 0),
-            self.K,
-            img_w=self.cfg.camera.width,
-            img_h=self.cfg.camera.height,
-            log_scale=float(np.log(self.cfg.orb.scale_factor)),
-            n_levels=self.cfg.orb.n_levels,
-        )
-        self.map.pt_visible[safe[np.asarray(in_view)]] += 1
-
-        # Exclude points already matched in this frame.
+        # Exclude points already matched in this frame; frustum check,
+        # projection search and pose GN run as ONE fused device step with
+        # a single readback. (Search-radius and widened-octave-gate notes:
+        # see _local_map_step.)
         matched_set = set(cur_mp[cur_mp >= 0].tolist())
         fresh = np.asarray(
             [p not in matched_set if p >= 0 else False for p in pts_pad]
         )
-        # Radius: 2.5 px scaled, widened to 4.0 for oblique views
-        # (reference: ORBmatcher.cc:131-137 RadiusByViewingCos x th=3? —
-        # the reference uses r in {2.5, 4.0} scaled by level).
-        r = jnp.where(view_cos > 0.998, 2.5, 4.0)
-        radii = r * jnp.asarray(self.sf)[octave]
-        # Octave gate widened vs the reference's [o-1, o] — the predicted
-        # octave degrades with scale drift, and a tight gate turns drift
-        # into match starvation (observed in synthetic runs).
-        lo = jnp.maximum(octave - 2, 0)
-        hi = jnp.minimum(octave + 1, self.cfg.orb.n_levels - 1)
-        # Free target keypoints: not already bound to a point.
-        free_t = f.valid & jnp.asarray(cur_mp < 0)
-        m = match.search_by_projection(
-            uv, radii,
-            jnp.asarray(self.map.pt_desc[safe]),
-            in_view & jnp.asarray(fresh),
-            f.xy, f.octave, f.desc, free_t, lo, hi,
-            max_dist=self.cfg.matcher.th_high,
-            nn_ratio=self.cfg.matcher.nn_ratio_mapping + 0.2,
+        seed_valid = cur_mp >= 0
+        seed_xyz = self.map.pt_xyz[np.maximum(cur_mp, 0)]
+        in_view, m_idx, m_valid, pose2, inl, n = fetch(
+            *_local_map_step(
+                self.cfg,
+                jnp.asarray(pose),
+                jnp.asarray(self.map.pt_xyz[safe]),
+                jnp.asarray(self.map.pt_normal[safe]),
+                jnp.asarray(self.map.pt_min_dist[safe]),
+                jnp.asarray(self.map.pt_max_dist[safe]),
+                jnp.asarray(self.map.pt_desc[safe]),
+                jnp.asarray(pts_pad >= 0),
+                jnp.asarray(fresh),
+                jnp.asarray(seed_xyz),
+                jnp.asarray(seed_valid),
+                f,
+                self.K,
+                self.inv_sigma2_levels,
+                jnp.asarray(self.sf),
+            )
         )
-        ok_np = np.asarray(m.valid)
+        self.map.pt_visible[safe[in_view]] += 1
         new_mp = cur_mp.copy()
-        new_mp[np.asarray(m.idx)[ok_np]] = pts_pad[ok_np]
+        new_mp[m_idx[m_valid]] = pts_pad[m_valid]
         _dbg(
             f"localmap: kfs={len(local_kfs)} pts={len(local_pts)}"
             f" in_view={int(in_view.sum())} fresh={int(fresh.sum())}"
-            f" new_matches={int(ok_np.sum())}"
+            f" new_matches={int(m_valid.sum())}"
             f" seed_matches={(cur_mp >= 0).sum()}"
         )
-
-        pose2, inl, n = self._optimize_frame_pose(f, pose, new_mp)
         found = new_mp.copy()
         found[~inl] = -1
         self.map.pt_found[found[found >= 0]] += 1
         new_mp[~inl] = -1
-        self.current_inliers = n
+        self.current_inliers = n = int(n)
 
         recent_reloc = self.frame_id - self.last_reloc_frame_id < int(
             self.cfg.camera.fps
@@ -702,32 +852,43 @@ class Tracking:
 
     def _create_keyframe(self, f, cur_mp):
         """Promote the frame (reference: Tracking.cc:1063-1141); stereo/RGBD
-        also seeds new close points from depth (:1077-1131)."""
+        also seeds new close points from depth (:1077-1131). All frame
+        arrays come down in a single batched readback."""
         mp = self.map
+        fh = frame_mod.FrameData(*fetch(*f))
         k = mp.add_keyframe(
             self.frame_id, self.last_pose,
-            np.asarray(f.xy), np.asarray(f.octave), np.asarray(f.angle),
-            np.asarray(f.desc), np.asarray(f.valid),
-            ur=np.asarray(f.ur), depth=np.asarray(f.depth),
+            fh.xy, fh.octave, fh.angle, fh.desc, fh.valid,
+            ur=fh.ur, depth=fh.depth,
         )
         for i in np.nonzero(cur_mp >= 0)[0]:
             mp.add_observation(int(cur_mp[i]), k, int(i))
         # Stereo/RGBD: create close points for unmatched keypoints.
         if self.cfg.sensor != Sensor.MONOCULAR:
-            depth = np.asarray(f.depth)
+            depth = fh.depth
             close = (
                 (depth > 0)
                 & (depth < self.cfg.tracking.th_depth * self.cfg.camera.baseline)
                 & (cur_mp < 0)
-                & np.asarray(f.valid)
+                & fh.valid
             )
             order = np.argsort(np.where(close, depth, np.inf))
             n_new = min(
                 int(close.sum()), self.cfg.tracking.max_new_stereo_points
             )
-            Tcw = jnp.asarray(self.last_pose)
-            xyz_c = camera.backproject(f.xy, f.depth, self.K)
-            xyz_w = np.asarray(se3.apply(se3.inverse(Tcw), xyz_c))
+            # Host backprojection (numpy): cheap, avoids a device readback.
+            Kc = np.asarray(self.K)
+            z = fh.depth
+            xc = np.stack(
+                [
+                    (fh.xy[:, 0] - Kc[2]) * z / Kc[0],
+                    (fh.xy[:, 1] - Kc[3]) * z / Kc[1],
+                    z,
+                ],
+                axis=1,
+            ).astype(np.float32)
+            Tinv = np_se3.inverse(self.last_pose)
+            xyz_w = xc @ Tinv[:, :3].T + Tinv[:, 3]
             for i in order[:n_new]:
                 p = mp.add_point(xyz_w[i], np.asarray(f.desc)[i], k)
                 mp.add_observation(p, k, int(i))
