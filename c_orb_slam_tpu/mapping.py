@@ -525,6 +525,7 @@ class LocalMapping:
             chi2_mono=self.cfg.optimizer.chi2_mono,
             chi2_stereo=self.cfg.optimizer.chi2_stereo,
             pcg_iters=self.cfg.optimizer.pcg_iters,
+            schur="dense",  # local window: direct MXU Schur solve
         )
         new_T, new_pts, inlier = fetch(
             result.cam_T, result.points, result.obs_inlier

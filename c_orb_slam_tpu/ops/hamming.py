@@ -40,9 +40,22 @@ def distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def distance_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(N1, 8) x (N2, 8) -> (N1, N2) int32 Hamming distances."""
-    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
-    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    """(N1, 8) x (N2, 8) -> (N1, N2) int32 Hamming distances.
+
+    MXU formulation: for binary vectors, d(a, b) = |a| + |b| - 2 a·b, so
+    the whole matrix is one (N1, 256) x (256, N2) matmul on the systolic
+    array instead of N1*N2*8 VPU popcounts (the reference's scalar
+    XOR/popcount loop is ORBmatcher.cc:1647-1663). Bits are exact in
+    bfloat16 and the f32 accumulation is exact (sums <= 256 << 2^24).
+    """
+    pop_a = jnp.sum(jax.lax.population_count(a), axis=-1).astype(jnp.int32)
+    pop_b = jnp.sum(jax.lax.population_count(b), axis=-1).astype(jnp.int32)
+    bits_a = unpack_bits(a).astype(jnp.bfloat16)
+    bits_b = unpack_bits(b).astype(jnp.bfloat16)
+    cross = jnp.dot(
+        bits_a, bits_b.T, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    return pop_a[:, None] + pop_b[None, :] - 2 * cross
 
 
 def masked_distance_matrix(

@@ -76,21 +76,37 @@ def _obs_terms(p: BAProblem, cam_T, points, use_huber, chi2_mono, chi2_stereo):
     return r, Jc, Jp, w, c2
 
 
-def _assemble(p: BAProblem, r, Jc, Jp, w, lm_lambda):
+def _assemble(p: BAProblem, r, Jc, Jp, w, lm_lambda, obs_pt_sorted=False):
+    """Normal-equation blocks. TPU note: XLA scatter-add is serialized
+    (~0.7 ms per call at these sizes); camera-side reductions go through
+    a one-hot f32 matmul on the MXU instead, and point-side reductions
+    use segment_sum (fast when observations are pre-sorted by point —
+    optimize() sorts once per call)."""
     C = p.cam_T.shape[0]
     P = p.points.shape[0]
-    Hcc = jnp.zeros((C, 6, 6), r.dtype).at[p.obs_cam].add(
-        jnp.einsum("nij,nik,n->njk", Jc, Jc, w)
+    oh_c = jax.nn.one_hot(p.obs_cam, C, dtype=r.dtype)  # (O, C)
+    cam_blocks = jnp.concatenate(
+        [
+            jnp.einsum("nij,nik,n->njk", Jc, Jc, w).reshape(-1, 36),
+            jnp.einsum("nij,ni,n->nj", Jc, r, w),
+        ],
+        axis=1,
+    )  # (O, 42)
+    cam_acc = jnp.dot(oh_c.T, cam_blocks, preferred_element_type=r.dtype)
+    Hcc = cam_acc[:, :36].reshape(C, 6, 6)
+    gc = cam_acc[:, 36:]
+    pt_blocks = jnp.concatenate(
+        [
+            jnp.einsum("nij,nik,n->njk", Jp, Jp, w).reshape(-1, 9),
+            jnp.einsum("nij,ni,n->nj", Jp, r, w),
+        ],
+        axis=1,
+    )  # (O, 12)
+    pt_acc = jax.ops.segment_sum(
+        pt_blocks, p.obs_pt, num_segments=P, indices_are_sorted=obs_pt_sorted
     )
-    Hpp = jnp.zeros((P, 3, 3), r.dtype).at[p.obs_pt].add(
-        jnp.einsum("nij,nik,n->njk", Jp, Jp, w)
-    )
-    gc = jnp.zeros((C, 6), r.dtype).at[p.obs_cam].add(
-        jnp.einsum("nij,ni,n->nj", Jc, r, w)
-    )
-    gp = jnp.zeros((P, 3), r.dtype).at[p.obs_pt].add(
-        jnp.einsum("nij,ni,n->nj", Jp, r, w)
-    )
+    Hpp = pt_acc[:, :9].reshape(P, 3, 3)
+    gp = pt_acc[:, 9:]
     eye6 = jnp.eye(6, dtype=r.dtype)
     eye3 = jnp.eye(3, dtype=r.dtype)
     # LM damping; dead camera/point slots get identity so inverses exist.
@@ -102,18 +118,25 @@ def _assemble(p: BAProblem, r, Jc, Jp, w, lm_lambda):
     return Hcc, Hpp_inv, gc, gp
 
 
-def _schur_matvec(p: BAProblem, Jc, Jp, w, Hcc, Hpp_inv, x, free_cam_mask):
+def _schur_matvec(
+    p: BAProblem, Jc, Jp, w, Hcc, Hpp_inv, x, free_cam_mask,
+    obs_pt_sorted=False,
+):
     """S @ x without materializing S. x: (C, 6)."""
+    P = Hpp_inv.shape[0]
     x = x * free_cam_mask[:, None]
     hx = jnp.einsum("cij,cj->ci", Hcc, x)
     u = jnp.einsum("nij,nj->ni", Jc, x[p.obs_cam]) * w[:, None]  # (O, 3)
-    v = jnp.zeros_like(Hpp_inv[:, :, 0]).at[p.obs_pt].add(
-        jnp.einsum("nij,ni->nj", Jp, u)
+    v = jax.ops.segment_sum(
+        jnp.einsum("nij,ni->nj", Jp, u), p.obs_pt, num_segments=P,
+        indices_are_sorted=obs_pt_sorted,
     )  # (P, 3) = Wᵀ x
     y = jnp.einsum("pij,pj->pi", Hpp_inv, v)
     s = jnp.einsum("nij,nj->ni", Jp, y[p.obs_pt]) * w[:, None]  # (O, 3)
-    z = jnp.zeros_like(x).at[p.obs_cam].add(
-        jnp.einsum("nij,ni->nj", Jc, s)
+    oh_c = jax.nn.one_hot(p.obs_cam, x.shape[0], dtype=x.dtype)
+    z = jnp.dot(
+        oh_c.T, jnp.einsum("nij,ni->nj", Jc, s),
+        preferred_element_type=x.dtype,
     )  # (C, 6) = W y
     return (hx - z) * free_cam_mask[:, None]
 
@@ -143,6 +166,53 @@ def _pcg(matvec, precond, b, iters):
     return x
 
 
+def _solve_cameras_dense(p: BAProblem, Jc, Jp, w, Hcc, Hpp_inv, gc, gp, free_cam):
+    """Explicit dense Schur complement + direct solve.
+
+    For windowed/local BA the reduced camera system is small (6C x 6C with
+    C <= ~64), so forming S = Hcc - W Hpp^-1 Wt as ONE big matmul on the
+    MXU and solving directly is far cheaper than a long sequential PCG
+    chain (the reference's g2o does exactly this dense-Schur route,
+    block_solver.hpp:354-447 with a dense-Cholesky linear solver).
+    Returns dc (C, 6)."""
+    C = p.cam_T.shape[0]
+    P = p.points.shape[0]
+    dt = gc.dtype
+    # Dense W (6C x 3P): per-observation 6x3 blocks accumulated by the
+    # flat (point, camera) key with segment_sum (obs pre-sorted by point
+    # in optimize(), so the keys are near-sorted — fast path).
+    B = jnp.einsum("nij,nik,n->njk", Jc, Jp, w)  # (O, 6, 3)
+    key = p.obs_pt * C + p.obs_cam
+    Wpc = jax.ops.segment_sum(
+        B.reshape(-1, 18), key, num_segments=P * C
+    )  # (P*C, 18)
+    W = (
+        Wpc.reshape(P, C, 6, 3)
+        .transpose(1, 2, 0, 3)
+        .reshape(C * 6, P * 3)
+    )
+    # W Hpp^-1 (blockwise), then S and rhs.
+    WH = jnp.einsum(
+        "cpj,pjk->cpk", W.reshape(C * 6, P, 3), Hpp_inv
+    )  # (6C, P, 3)
+    S = -jnp.dot(
+        WH.reshape(C * 6, P * 3), W.T, preferred_element_type=jnp.float32
+    )
+    # Add the Hcc block diagonal.
+    bi = (jnp.arange(C) * 6)[:, None, None] + jnp.arange(6)[None, :, None]
+    bj = (jnp.arange(C) * 6)[:, None, None] + jnp.arange(6)[None, None, :]
+    S = S.at[
+        jnp.broadcast_to(bi, (C, 6, 6)), jnp.broadcast_to(bj, (C, 6, 6))
+    ].add(Hcc)
+    rhs = -(gc - jnp.einsum("cpj,pj->c", WH, gp).reshape(C, 6))
+    # Fixed/dead cameras: identity rows/cols, zero rhs.
+    free6 = jnp.repeat(free_cam, 6)
+    S = S * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
+    rhs = rhs * free_cam[:, None]
+    dc = jnp.linalg.solve(S, rhs.reshape(C * 6)).reshape(C, 6)
+    return dc * free_cam[:, None]
+
+
 def ba_iteration(
     p: BAProblem,
     lm_lambda,
@@ -150,42 +220,61 @@ def ba_iteration(
     chi2_mono: float,
     chi2_stereo: float,
     pcg_iters: int,
+    schur: str = "pcg",
+    obs_pt_sorted: bool = False,
 ):
     """One damped GN step. Returns (new_cam_T, new_points, total_error)."""
     r, Jc, Jp, w, c2 = _obs_terms(
         p, p.cam_T, p.points, use_huber, chi2_mono, chi2_stereo
     )
-    Hcc, Hpp_inv, gc, gp = _assemble(p, r, Jc, Jp, w, lm_lambda)
-    free_cam = (p.cam_valid & ~p.cam_fixed).astype(r.dtype)
-
-    # Schur RHS: -(gc - W Hpp^{-1} gp)
-    y = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
-    s = jnp.einsum("nij,nj->ni", Jp, y[p.obs_pt]) * w[:, None]
-    Wy = jnp.zeros_like(gc).at[p.obs_cam].add(jnp.einsum("nij,ni->nj", Jc, s))
-    rhs = -(gc - Wy) * free_cam[:, None]
-
-    Hcc_inv = jnp.linalg.inv(Hcc)
-
-    def matvec(x):
-        return _schur_matvec(p, Jc, Jp, w, Hcc, Hpp_inv, x, free_cam)
-
-    def precond(x):
-        return jnp.einsum("cij,cj->ci", Hcc_inv, x) * free_cam[:, None]
-
-    dc = _pcg(matvec, precond, rhs, pcg_iters)  # (C, 6)
-
-    # Back-substitute point updates: dp = Hpp^{-1} (-gp - Wᵀ dc)
-    u = jnp.einsum("nij,nj->ni", Jc, dc[p.obs_cam]) * w[:, None]
-    Wt_dc = jnp.zeros_like(gp).at[p.obs_pt].add(
-        jnp.einsum("nij,ni->nj", Jp, u)
+    Hcc, Hpp_inv, gc, gp = _assemble(
+        p, r, Jc, Jp, w, lm_lambda, obs_pt_sorted=obs_pt_sorted
     )
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv, -gp - Wt_dc)
-    dp = dp * p.point_valid.astype(dp.dtype)[:, None]
+    free_cam = (p.cam_valid & ~p.cam_fixed).astype(r.dtype)
+    P = p.points.shape[0]
 
+    def back_substitute(dc):
+        # dp = Hpp^{-1} (-gp - Wᵀ dc)
+        u = jnp.einsum("nij,nj->ni", Jc, dc[p.obs_cam]) * w[:, None]
+        Wt_dc = jax.ops.segment_sum(
+            jnp.einsum("nij,ni->nj", Jp, u), p.obs_pt, num_segments=P,
+            indices_are_sorted=obs_pt_sorted,
+        )
+        dp = jnp.einsum("pij,pj->pi", Hpp_inv, -gp - Wt_dc)
+        return dp * p.point_valid.astype(dp.dtype)[:, None]
+
+    if schur == "dense":
+        dc = _solve_cameras_dense(
+            p, Jc, Jp, w, Hcc, Hpp_inv, gc, gp, free_cam
+        )
+    else:
+        # Schur RHS: -(gc - W Hpp^{-1} gp)
+        y = jnp.einsum("pij,pj->pi", Hpp_inv, gp)
+        s = jnp.einsum("nij,nj->ni", Jp, y[p.obs_pt]) * w[:, None]
+        oh_c = jax.nn.one_hot(p.obs_cam, gc.shape[0], dtype=gc.dtype)
+        Wy = jnp.dot(
+            oh_c.T, jnp.einsum("nij,ni->nj", Jc, s),
+            preferred_element_type=gc.dtype,
+        )
+        rhs = -(gc - Wy) * free_cam[:, None]
+
+        Hcc_inv = jnp.linalg.inv(Hcc)
+
+        def matvec(x):
+            return _schur_matvec(
+                p, Jc, Jp, w, Hcc, Hpp_inv, x, free_cam,
+                obs_pt_sorted=obs_pt_sorted,
+            )
+
+        def precond(x):
+            return jnp.einsum("cij,cj->ci", Hcc_inv, x) * free_cam[:, None]
+
+        dc = _pcg(matvec, precond, rhs, pcg_iters)  # (C, 6)
+
+    dp = back_substitute(dc)
     new_T = jax.vmap(lambda d, T: se3.compose(se3.exp(d), T))(dc, p.cam_T)
     new_T = jnp.where(free_cam[:, None, None] > 0, new_T, p.cam_T)
-    new_pts = p.points + dp
-    return new_T, new_pts, dc, dp
+    return new_T, p.points + dp, dc, dp
 
 
 def _total_error(p, cam_T, points, use_huber, chi2_mono, chi2_stereo):
@@ -206,7 +295,8 @@ def _total_error(p, cam_T, points, use_huber, chi2_mono, chi2_stereo):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "iters", "use_huber", "chi2_mono", "chi2_stereo", "pcg_iters"
+        "iters", "use_huber", "chi2_mono", "chi2_stereo", "pcg_iters",
+        "schur",
     ),
 )
 def optimize(
@@ -217,14 +307,33 @@ def optimize(
     chi2_stereo: float = 7.815,
     pcg_iters: int = 40,
     lm_lambda0: float = 1e-4,
+    schur: str = "pcg",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """LM loop with accept/reject damping. Returns (cam_T, points)."""
+    """LM loop with accept/reject damping. Returns (cam_T, points).
+
+    schur="dense" forms the reduced camera system explicitly (one MXU
+    matmul + direct solve — right for windowed/local problems);
+    schur="pcg" keeps the implicit matrix-free solve (right for global
+    BA, where the dense W would not fit)."""
+    # Sort observations by (point, camera) once: every per-point reduction
+    # in the LM loop becomes a sorted segment_sum (XLA's fast path).
+    C = p.cam_T.shape[0]
+    perm = jnp.argsort(p.obs_pt * C + p.obs_cam)
+    p = p._replace(
+        obs_cam=p.obs_cam[perm],
+        obs_pt=p.obs_pt[perm],
+        obs_uv=p.obs_uv[perm],
+        obs_stereo=p.obs_stereo[perm],
+        obs_inv_sigma2=p.obs_inv_sigma2[perm],
+        obs_valid=p.obs_valid[perm],
+    )
 
     def body(state, _):
         cam_T, points, lam, err = state
         p_cur = p._replace(cam_T=cam_T, points=points)
         new_T, new_pts, _, _ = ba_iteration(
-            p_cur, lam, use_huber, chi2_mono, chi2_stereo, pcg_iters
+            p_cur, lam, use_huber, chi2_mono, chi2_stereo, pcg_iters,
+            schur=schur, obs_pt_sorted=True,
         )
         new_err = _total_error(
             p, new_T, new_pts, use_huber, chi2_mono, chi2_stereo
@@ -271,12 +380,14 @@ def bundle_adjust(
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
     pcg_iters: int = 40,
+    schur: str = "pcg",
 ) -> BAResult:
     """Two-stage BA with outlier re-classification between stages
     (reference: Optimizer.cc:659-709 LocalBundleAdjustment flow)."""
     cam_T, points = optimize(
         p, iters=iters_first, use_huber=True,
         chi2_mono=chi2_mono, chi2_stereo=chi2_stereo, pcg_iters=pcg_iters,
+        schur=schur,
     )
     p = p._replace(cam_T=cam_T, points=points)
     inlier = classify_inliers(p, chi2_mono, chi2_stereo)
@@ -284,6 +395,7 @@ def bundle_adjust(
     cam_T, points = optimize(
         p, iters=iters_second, use_huber=False,
         chi2_mono=chi2_mono, chi2_stereo=chi2_stereo, pcg_iters=pcg_iters,
+        schur=schur,
     )
     p = p._replace(cam_T=cam_T, points=points)
     inlier = classify_inliers(p, chi2_mono, chi2_stereo)

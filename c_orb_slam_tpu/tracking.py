@@ -495,7 +495,7 @@ class Tracking:
         cam_T, points = fetch(
             *ba_mod.optimize(
                 problem, iters=self.cfg.optimizer.init_ba_its, use_huber=True,
-                pcg_iters=self.cfg.optimizer.pcg_iters,
+                pcg_iters=self.cfg.optimizer.pcg_iters, schur="dense",
             )
         )
         mp.kf_pose[k1] = cam_T[1]
