@@ -185,11 +185,70 @@ class LocalMapping:
         self.K = camera.intrinsics_array(cfg.camera)
         self.sigma2 = np.asarray(cfg.orb.level_sigma2(), np.float32)
         self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
+        # Pipeline state: pending keyframes + remaining stages of the one
+        # being processed (reference: the LocalMapping thread's queue,
+        # LocalMapping.cc:114-119; stage interleaving replaces the thread,
+        # SURVEY.md §2.3 item 1).
+        self.queue: list[int] = []
+        self._stages: list = []
+        self._current_kf: int = -1
+        self.on_keyframe_done = None  # callback(kf) -> feeds LoopClosing
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, kf: int):
+        """Enqueue a keyframe for mapping (reference:
+        LocalMapping::InsertKeyFrame, LocalMapping.cc:114-119)."""
+        self.queue.append(kf)
+
+    def idle(self) -> bool:
+        """The reference's AcceptKeyFrames signal (LocalMapping.cc:55,103):
+        tracking consults this for the keyframe decision."""
+        return not self.queue and not self._stages
+
+    def queue_len(self) -> int:
+        return len(self.queue) + (1 if self._stages else 0)
+
+    def step(self, max_stages: int = 1):
+        """Run up to `max_stages` mapping stages. Called once per tracked
+        frame: mapping proceeds at keyframe rate while tracking continues —
+        the host-loop equivalent of the reference's mapping thread."""
+        for _ in range(max_stages):
+            if not self._stages:
+                if not self.queue:
+                    return
+                self._current_kf = self.queue.pop(0)
+                kf = self._current_kf
+                self._stages = [
+                    lambda k=kf: self._cull_recent_points(k),
+                    lambda k=kf: self._create_new_points(k),
+                    lambda k=kf: self._fuse_neighbors(k),
+                    lambda k=kf: self._local_ba_if_ready(k),
+                    lambda k=kf: self._finish_keyframe(k),
+                ]
+            self._stages.pop(0)()
+
+    def drain(self):
+        """Run the pipeline to empty (shutdown/reset/loop-closing barrier —
+        the reference's RequestStop + spin-wait, LoopClosing.cc:408-429)."""
+        while self.queue or self._stages:
+            self.step()
+
+    def _local_ba_if_ready(self, kf: int):
+        if len(self.map.live_keyframes()) > 2:
+            self._local_ba(kf)
+
+    def _finish_keyframe(self, kf: int):
+        self._cull_keyframes(kf)
+        self.map.big_change_idx += 1
+        if self.on_keyframe_done is not None and self.map.kf_valid[kf]:
+            self.on_keyframe_done(kf)
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int):
-        """Full mapping pass for one new keyframe (reference Run loop
-        order, LocalMapping.cc:62-87)."""
+        """Full synchronous mapping pass for one keyframe (reference Run
+        loop order, LocalMapping.cc:62-87). The live System pipelines the
+        same stages through step(); this entry point remains for tests,
+        drains, and offline use."""
         n0 = int(self.map.pt_valid.sum())
         self._cull_recent_points(kf)
         n1 = int(self.map.pt_valid.sum())
@@ -200,10 +259,9 @@ class LocalMapping:
         if len(self.map.live_keyframes()) > 2:
             self._local_ba(kf)
         n4 = int(self.map.pt_valid.sum())
-        self._cull_keyframes(kf)
+        self._finish_keyframe(kf)
         n5 = int(self.map.pt_valid.sum())
         _dbg(f"pts: start={n0} cull:{n1-n0:+d} tri:{n2-n1:+d} fuse:{n3-n2:+d} ba:{n4-n3:+d} kfcull:{n5-n4:+d}")
-        self.map.big_change_idx += 1
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, kf: int):

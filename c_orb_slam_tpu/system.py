@@ -57,6 +57,8 @@ class System:
         if self.loop_closing is not None:
             self.loop_closing.on_pose_correction = self._on_loop_correction
             self.tracker.reloc_provider = self.loop_closing
+        self.tracker.mapper = self.local_mapping
+        self.local_mapping.on_keyframe_done = self._on_mapping_done
         self.localization_only = False
         self.timestamps: list[float] = []
 
@@ -84,15 +86,27 @@ class System:
         self.timestamps.append(timestamp)
         n_kf_before = self.map.n_keyframes
         pose = self.tracker.track(f)
-        if not self.localization_only and self.map.n_keyframes > n_kf_before:
-            new_kf = self.map.n_keyframes - 1
-            if self.map.n_keyframes > 2:  # skip during initialization pair
-                self.local_mapping.process_keyframe(new_kf)
-            if self.loop_closing is not None:
-                # The mono init inserts two keyframes at once — index both.
+        if not self.localization_only:
+            if self.map.n_keyframes > n_kf_before:
                 for k in range(n_kf_before, self.map.n_keyframes):
-                    self.loop_closing.process_keyframe(k)
+                    if self.map.n_keyframes > 2:
+                        # Regular keyframe: enqueue for the mapping
+                        # pipeline; LoopClosing is fed on completion.
+                        self.local_mapping.insert_keyframe(k)
+                    elif self.loop_closing is not None:
+                        # Initialization keyframes skip mapping (the
+                        # reference's mapper ignores them too) — index
+                        # them for place recognition directly.
+                        self.loop_closing.process_keyframe(k)
+            # One mapping stage per tracked frame: the host-loop analog of
+            # the reference's concurrent LocalMapping thread (tracking
+            # proceeds against a map that lags by a few frames).
+            self.local_mapping.step()
         return pose
+
+    def _on_mapping_done(self, kf: int):
+        if self.loop_closing is not None:
+            self.loop_closing.process_keyframe(kf)
 
     def _on_loop_correction(self, kf: int, T_old: np.ndarray, T_new: np.ndarray):
         """Re-anchor the tracker after a loop correction moved the map
@@ -137,7 +151,9 @@ class System:
         self.timestamps = []
 
     def shutdown(self):
-        """No threads to join — interface parity (System.cc:301)."""
+        """Drain the mapping pipeline (the reference joins its threads,
+        System.cc:301-320)."""
+        self.local_mapping.drain()
 
     def map_changed(self) -> bool:
         """Reference: System::MapChanged (System.cc:282-293)."""

@@ -240,6 +240,126 @@ def _local_map_step(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _full_track_step(
+    cfg: SlamConfig,
+    T_pred: jnp.ndarray,
+    q_xyz: jnp.ndarray,
+    q_desc: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    q_octave: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    pt_xyz: jnp.ndarray,
+    pt_normal: jnp.ndarray,
+    pt_min_dist: jnp.ndarray,
+    pt_max_dist: jnp.ndarray,
+    pt_desc: jnp.ndarray,
+    pt_valid: jnp.ndarray,
+    pt_ids: jnp.ndarray,
+    f: frame_mod.FrameData,
+    K: jnp.ndarray,
+    inv_sigma2_levels: jnp.ndarray,
+    sf: jnp.ndarray,
+):
+    """The ENTIRE per-frame tracking compute as one program / one readback:
+    motion-model projection matching -> pose GN -> frustum cull of the
+    covisibility-local points -> projection matching -> pose GN again
+    (reference: the Track() pipeline, Tracking.cc:313 + :930).
+
+    The local point set is chosen by the host from the PREVIOUS frame's
+    covisibility — one frame stale, exactly as the reference's tracking
+    reads a map its mapping thread mutates concurrently."""
+    # --- Stage 1: motion model (Tracking.cc:867) ---
+    xc = se3.apply(T_pred, q_xyz)
+    uv = camera.project(xc, K)
+    z_ok = xc[:, 2] > 0
+    radii = 15.0 * sf[q_octave]
+    lo = jnp.maximum(q_octave - 1, 0)
+    hi = jnp.minimum(q_octave + 1, cfg.orb.n_levels - 1)
+    m1 = match.search_by_projection(
+        uv, radii, q_desc, q_valid & z_ok,
+        f.xy, f.octave, f.desc, f.valid, lo, hi,
+        max_dist=cfg.matcher.th_high,
+        nn_ratio=cfg.matcher.nn_ratio_tracking,
+    )
+    r1 = _pose_opt_over_queries(
+        cfg, T_pred, q_xyz, m1, f, inv_sigma2_levels, K
+    )
+    mm_ok = (
+        (jnp.sum(m1.valid) >= 20)
+        & (r1.n_inliers >= cfg.tracking.min_inliers_pose)
+    )
+    pose1 = jnp.where(mm_ok, r1.pose, T_pred)
+
+    # Per-feature seed assignment from stage-1 inliers.
+    n_feat = f.xy.shape[0]
+    n_q = q_xyz.shape[0]
+    good_q = m1.valid & r1.inliers & mm_ok
+    feat_q1 = jnp.full((n_feat,), -1, jnp.int32)
+    feat_q1 = feat_q1.at[jnp.where(good_q, m1.idx, n_feat)].set(
+        jnp.arange(n_q, dtype=jnp.int32), mode="drop"
+    )
+    seed_new = feat_q1 >= 0
+    seed_xyz = jnp.where(
+        seed_new[:, None], q_xyz[jnp.maximum(feat_q1, 0)], 0.0
+    )
+    seed_valid = seed_new
+
+    # --- Stage 2: local map (Tracking.cc:930, 1143) ---
+    in_view, uv2, octave2, view_cos = frustum_check(
+        pose1, pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_valid, K,
+        img_w=cfg.camera.width,
+        img_h=cfg.camera.height,
+        log_scale=float(np.log(cfg.orb.scale_factor)),
+        n_levels=cfg.orb.n_levels,
+    )
+    # Exclude local points already matched by stage 1 (device membership
+    # test: sorted matched ids + searchsorted).
+    matched_ids = jnp.sort(jnp.where(good_q, q_ids, jnp.int32(2**30)))
+    pos = jnp.searchsorted(matched_ids, pt_ids)
+    already = matched_ids[jnp.minimum(pos, n_q - 1)] == pt_ids
+    fresh = pt_valid & ~already
+
+    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    radii2 = r * sf[octave2]
+    lo2 = jnp.maximum(octave2 - 2, 0)
+    hi2 = jnp.minimum(octave2 + 1, cfg.orb.n_levels - 1)
+    free_t = f.valid & ~seed_valid
+    m2 = match.search_by_projection(
+        uv2, radii2, pt_desc, in_view & fresh,
+        f.xy, f.octave, f.desc, free_t, lo2, hi2,
+        max_dist=cfg.matcher.th_high,
+        nn_ratio=cfg.matcher.nn_ratio_mapping + 0.2,
+    )
+    n_q2 = pt_xyz.shape[0]
+    feat_q2 = jnp.full((n_feat,), -1, jnp.int32)
+    feat_q2 = feat_q2.at[jnp.where(m2.valid, m2.idx, n_feat)].set(
+        jnp.arange(n_q2, dtype=jnp.int32), mode="drop"
+    )
+    feat_new2 = feat_q2 >= 0
+    xyz_feat = jnp.where(
+        feat_new2[:, None], pt_xyz[jnp.maximum(feat_q2, 0)], seed_xyz
+    )
+    valid_feat = feat_new2 | seed_valid
+    is_stereo = (f.ur > 0) & valid_feat
+    obs = jnp.concatenate(
+        [f.xy, jnp.where(is_stereo, f.ur, 0.0)[:, None]], axis=1
+    )
+    r2 = pose_opt.optimize_pose(
+        pose1, xyz_feat, obs, inv_sigma2_levels[f.octave], is_stereo,
+        valid_feat, K, float(cfg.camera.bf),
+        rounds=cfg.optimizer.pose_opt_rounds,
+        iters=cfg.optimizer.pose_opt_its,
+        chi2_mono=cfg.optimizer.chi2_mono,
+        chi2_stereo=cfg.optimizer.chi2_stereo,
+    )
+    return (
+        mm_ok, m1.idx, good_q,
+        in_view, m2.idx, m2.valid,
+        r2.pose, r2.inliers, r2.n_inliers,
+    )
+
+
 class Tracking:
     """Host tracking loop. One instance per System."""
 
@@ -295,11 +415,14 @@ class Tracking:
             return self.last_pose
 
         ok = False
+        fused_done = False
         pose = None
         if self.state == TrackState.OK:
             self._check_replaced_last()
             if self.velocity is not None:
-                ok, pose, cur_mp = self._track_motion_model(f)
+                # Hot path: the whole frame in ONE dispatch + ONE readback.
+                ok, pose, cur_mp = self._track_fused(f)
+                fused_done = ok
             if not ok:
                 ok, pose, cur_mp = self._track_reference_kf(f)
         if self.state == TrackState.LOST or not ok:
@@ -307,7 +430,7 @@ class Tracking:
             if ok:
                 self.last_reloc_frame_id = self.frame_id
 
-        if ok:
+        if ok and not fused_done:
             ok, pose, cur_mp = self._track_local_map(f, pose, cur_mp)
 
         if ok:
@@ -582,6 +705,75 @@ class Tracking:
         pose, inl, n = fetch(result.pose, result.inliers, result.n_inliers)
         return pose, inl, int(n)
 
+    def _track_fused(self, f: frame_mod.FrameData):
+        """Steady-state hot path: motion-model + local-map tracking as ONE
+        device program with ONE readback (see _full_track_step). The local
+        point set comes from the previous frame's covisibility (one frame
+        stale — the reference's tracking likewise races its mapping
+        thread's map updates)."""
+        last_has = self.last_mp >= 0
+        if last_has.sum() < 10:
+            return False, None, None
+        local_kfs = self._local_keyframes(self.last_mp)
+        local_pts = self._local_points(local_kfs)
+        if len(local_pts) == 0:
+            return False, None, None
+        cap = self.cfg.capacity.local_map_max_points
+        pts_pad = np.full(cap, -1, np.int64)
+        pts_pad[: len(local_pts)] = local_pts[:cap]
+        safe = np.maximum(pts_pad, 0)
+
+        T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
+        T_pred = T_pred[:3].astype(np.float32)
+        idx = np.maximum(self.last_mp, 0)
+
+        (
+            mm_ok, m1_idx, good_q,
+            in_view, m2_idx, m2_valid,
+            pose2, inl_feat, n2,
+        ) = fetch(
+            *_full_track_step(
+                self.cfg,
+                jnp.asarray(T_pred),
+                jnp.asarray(self.map.pt_xyz[idx]),
+                jnp.asarray(self.map.pt_desc[idx]),
+                jnp.asarray(last_has),
+                self.last_frame.octave,
+                jnp.asarray(self.last_mp.astype(np.int32)),
+                jnp.asarray(self.map.pt_xyz[safe]),
+                jnp.asarray(self.map.pt_normal[safe]),
+                jnp.asarray(self.map.pt_min_dist[safe]),
+                jnp.asarray(self.map.pt_max_dist[safe]),
+                jnp.asarray(self.map.pt_desc[safe]),
+                jnp.asarray(pts_pad >= 0),
+                jnp.asarray(pts_pad.astype(np.int32)),
+                f,
+                self.K,
+                self.inv_sigma2_levels,
+                jnp.asarray(self.sf),
+            )
+        )
+        if not bool(mm_ok):
+            return False, None, None
+        self.map.pt_visible[safe[in_view]] += 1
+        new_mp = np.full(f.xy.shape[0], -1, np.int64)
+        new_mp[m1_idx[good_q]] = self.last_mp[good_q]
+        new_mp[m2_idx[m2_valid]] = pts_pad[m2_valid]
+        found = new_mp.copy()
+        found[~inl_feat] = -1
+        self.map.pt_found[found[found >= 0]] += 1
+        new_mp[~inl_feat] = -1
+        self.current_inliers = n = int(n2)
+        recent_reloc = self.frame_id - self.last_reloc_frame_id < int(
+            self.cfg.camera.fps
+        )
+        need = (
+            self.cfg.tracking.min_inliers_local_map_strict
+            if recent_reloc
+            else self.cfg.tracking.min_inliers_local_map
+        )
+        return n >= need, pose2, new_mp
+
     def _track_motion_model(self, f: frame_mod.FrameData):
         """Project last frame's points with constant-velocity prior
         (reference: Tracking.cc:867-928 + ORBmatcher.cc:1328).
@@ -835,20 +1027,30 @@ class Tracking:
     # Keyframe policy
     # ------------------------------------------------------------------
     def _need_new_keyframe(self, f, cur_mp) -> bool:
-        """Reference: Tracking.cc:977-1061 (conditions c1a/c1b/c2; the
-        mapper-idle condition is moot — mapping runs inline)."""
+        """Reference: Tracking.cc:977-1061 (conditions c1a/c1b/c2 plus the
+        mapper-idle gating): when the mapping pipeline is busy, monocular
+        drops the keyframe entirely and stereo/RGB-D inserts only while
+        the queue is short (Tracking.cc:1039-1057)."""
         n_kf = len(self.map.live_keyframes())
         if n_kf == 0:
             return False
+        mapper = getattr(self, "mapper", None)
+        idle = mapper.idle() if mapper is not None else True
         frames = self.frame_id - self.last_kf_frame_id
         # Matches the reference keyframe currently tracks.
         ref_matches = (self.map.kf_mp[self.ref_kf] >= 0).sum() if self.ref_kf >= 0 else 0
         inliers = self.current_inliers
         theta = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
         c1a = frames >= self.cfg.tracking.max_frames_between_kf
-        c1b = frames >= self.cfg.tracking.min_frames_between_kf
+        c1b = frames >= self.cfg.tracking.min_frames_between_kf and idle
         c2 = inliers < ref_matches * theta and inliers > 15
-        return bool(c1a or (c1b and c2))
+        if not (c1a or (c1b and c2)):
+            return False
+        if idle:
+            return True
+        if self.cfg.sensor != Sensor.MONOCULAR and mapper.queue_len() < 3:
+            return True
+        return False
 
     def _create_keyframe(self, f, cur_mp):
         """Promote the frame (reference: Tracking.cc:1063-1141); stereo/RGBD
