@@ -119,11 +119,24 @@ def _triangulate_pairs_batch(
             & (e1 < 5.991 * s1) & (e2 < 5.991 * s2)
             & (ratio_dist * rf > ratio_oct) & (ratio_dist < ratio_oct * rf)
         )
-        return m.idx, good, xw
+        # Compact: surviving candidates first (device-side), so the host
+        # readback is K rows instead of the full keypoint capacity —
+        # readback bytes, not FLOPs, bound this stage.
+        order = jnp.argsort(~good)[:TRI_COMPACT_K]
+        return (
+            order.astype(jnp.int32),
+            m.idx[order],
+            good[order],
+            xw[order],
+        )
 
     return jax.lax.map(
         per_pair, (T2s, xy2s, oct2s, desc2s, free2s, pair_valid)
     )
+
+
+# Max new-point candidates kept per neighbor pair (readback compaction).
+TRI_COMPACT_K = 384
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -166,7 +179,10 @@ def _fuse_pairs_batch(
             max_dist=cfg.matcher.th_low,
             nn_ratio=1.0,
         )
-        return m.idx, m.valid
+        # Compact matches first: the host readback shrinks from the point
+        # capacity to K rows per pair.
+        order = jnp.argsort(~m.valid)[:FUSE_COMPACT_K]
+        return order.astype(jnp.int32), m.idx[order], m.valid[order]
 
     return jax.lax.map(
         per_pair,
@@ -175,6 +191,10 @@ def _fuse_pairs_batch(
             pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_desc, pt_mask,
         ),
     )
+
+
+# Max fuse matches kept per (src,dst) pair (readback compaction).
+FUSE_COMPACT_K = 384
 
 
 class LocalMapping:
@@ -329,10 +349,10 @@ class LocalMapping:
         if not pair_valid.any():
             return
 
-        idx2, good, xw = fetch(
+        src1, idx2, good, xw = fetch(
             *_triangulate_pairs_batch(
                 self.cfg,
-                jnp.asarray(T1 := mp.kf_pose[k1]),
+                jnp.asarray(mp.kf_pose[k1]),
                 jnp.asarray(mp.kf_xy[k1]),
                 jnp.asarray(mp.kf_octave[k1]),
                 jnp.asarray(mp.kf_desc[k1]),
@@ -347,21 +367,20 @@ class LocalMapping:
                 jnp.asarray(self.sigma2),
             )
         )
-        del T1
         n_new = 0
         for pi in range(P):
             if not pair_valid[pi]:
                 continue
             k2 = ks[pi]
-            sel = np.nonzero(good[pi])[0]
-            for i in sel:
+            for j in np.nonzero(good[pi])[0]:
+                i = int(src1[pi, j])
                 # A feature may match in several pairs — first winner takes
                 # it (the reference's sequential loop has the same effect).
-                if mp.kf_mp[k1, i] >= 0 or mp.kf_mp[k2, idx2[pi, i]] >= 0:
+                if mp.kf_mp[k1, i] >= 0 or mp.kf_mp[k2, idx2[pi, j]] >= 0:
                     continue
-                p = mp.add_point(xw[pi, i], mp.kf_desc[k1][i], k1)
-                mp.add_observation(p, k1, int(i))
-                mp.add_observation(p, k2, int(idx2[pi, i]))
+                p = mp.add_point(xw[pi, j], mp.kf_desc[k1][i], k1)
+                mp.add_observation(p, k1, i)
+                mp.add_observation(p, k2, int(idx2[pi, j]))
                 mp.update_point_descriptor_and_normal(p)
                 self.recent_points.append((p, k1))
                 n_new += 1
@@ -428,7 +447,7 @@ class LocalMapping:
         safe = np.maximum(pts_arr, 0)
         dsts = [d for _, d in live_pairs]
 
-        m_idx, m_valid = fetch(
+        src_rows, m_idx, m_valid = fetch(
             *_fuse_pairs_batch(
                 self.cfg,
                 jnp.asarray(mp.kf_pose[dsts]),
@@ -449,13 +468,14 @@ class LocalMapping:
         for pi in range(n_real):
             _, dst = live_pairs[pi]
             pts = pts_arr[pi]
-            ok = m_valid[pi] & (pts >= 0)
+            rows = src_rows[pi]
+            ok = m_valid[pi] & (pts[rows] >= 0)
             idx = m_idx[pi]
-            for i in np.nonzero(ok)[0]:
-                p = int(pts[i])
+            for j in np.nonzero(ok)[0]:
+                p = int(pts[rows[j]])
                 if not mp.pt_valid[p]:
                     continue  # merged away by an earlier pair
-                feat = int(idx[i])
+                feat = int(idx[j])
                 existing = int(mp.kf_mp[dst, feat])
                 if existing >= 0 and mp.pt_valid[existing]:
                     if existing != p:
@@ -499,6 +519,8 @@ class LocalMapping:
         cams = local + sorted(frontier)
         cams = cams[: cap.local_ba_max_kfs * 2]
         cam_slot = {k: i for i, k in enumerate(cams)}
+        # Fixed problem capacities: one compiled solver per config (dynamic
+        # bucketing was tried; recompiles at bucket transitions dominate).
         C = cap.local_ba_max_kfs * 2
         P = cap.local_ba_max_points
         O = cap.local_ba_max_obs

@@ -54,29 +54,22 @@ def compute_descriptors(
     Returns (N, 8) uint32.
     """
     pat = jnp.asarray(brief_pattern(seed), dtype=jnp.float32)  # (256, 4)
-    patches = orient.gather_patches(image_blurred, yx, PATCH_HALF)  # (N,P,P)
-    n = yx.shape[0]
-    size = 2 * PATCH_HALF + 1
-
+    h, w = image_blurred.shape
     cos, sin = jnp.cos(angles), jnp.sin(angles)  # (N,)
 
-    # Rotate pattern offsets per keypoint: (N, 256) each for a and b points.
+    # Rotate pattern offsets per keypoint and gather the 2x256 sample
+    # points straight from the image — no 37x37 patch materialization
+    # (2.7x less gather traffic than the patch route).
     ay, ax, by, bx = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
 
-    def rot(y, x):
+    def sample(y, x):
         # Reference rotates with row-major (x*cos - y*sin, x*sin + y*cos)
         # (ORBextractor.cc:120-121 GET_VALUE).
         rx = cos[:, None] * x[None, :] - sin[:, None] * y[None, :]
         ry = sin[:, None] * x[None, :] + cos[:, None] * y[None, :]
-        iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + PATCH_HALF, 0, size - 1)
-        ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + PATCH_HALF, 0, size - 1)
-        return iy * size + ix  # flat patch index (N, 256)
+        iy = jnp.clip(jnp.round(ry).astype(jnp.int32) + yx[:, 0:1], 0, h - 1)
+        ix = jnp.clip(jnp.round(rx).astype(jnp.int32) + yx[:, 1:2], 0, w - 1)
+        return image_blurred[iy, ix]  # (N, 256)
 
-    idx_a = rot(ay, ax)
-    idx_b = rot(by, bx)
-
-    flat = patches.reshape(n, size * size)
-    va = jnp.take_along_axis(flat, idx_a, axis=1)
-    vb = jnp.take_along_axis(flat, idx_b, axis=1)
-    bits = (va < vb).astype(jnp.uint8)  # (N, 256)
+    bits = (sample(ay, ax) < sample(by, bx)).astype(jnp.uint8)  # (N, 256)
     return pack_bits(bits)

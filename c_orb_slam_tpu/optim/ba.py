@@ -114,8 +114,37 @@ def _assemble(p: BAProblem, r, Jc, Jp, w, lm_lambda, obs_pt_sorted=False):
     Hcc = Hcc + lm_lambda * eye6 + (1.0 - free_cam) * eye6
     live_pt = p.point_valid.astype(r.dtype)[:, None, None]
     Hpp = Hpp + lm_lambda * eye3 + (1.0 - live_pt) * eye3
-    Hpp_inv = jnp.linalg.inv(Hpp)
+    Hpp_inv = _inv3x3(Hpp)
     return Hcc, Hpp_inv, gc, gp
+
+
+def _inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / determinant): pure
+    elementwise VPU math instead of batched LU (g2o marginalizes point
+    blocks the same way, block_solver.hpp:354-447)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A00 = e * i - f * h
+    A01 = c * h - b * i
+    A02 = b * f - c * e
+    A10 = f * g - d * i
+    A11 = a * i - c * g
+    A12 = c * d - a * f
+    A20 = d * h - e * g
+    A21 = b * g - a * h
+    A22 = a * e - b * d
+    det = a * A00 + b * A10 + c * A20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([A00, A01, A02], axis=-1),
+            jnp.stack([A10, A11, A12], axis=-1),
+            jnp.stack([A20, A21, A22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
 
 
 def _schur_matvec(
@@ -209,7 +238,10 @@ def _solve_cameras_dense(p: BAProblem, Jc, Jp, w, Hcc, Hpp_inv, gc, gp, free_cam
     free6 = jnp.repeat(free_cam, 6)
     S = S * free6[:, None] * free6[None, :] + jnp.diag(1.0 - free6)
     rhs = rhs * free_cam[:, None]
-    dc = jnp.linalg.solve(S, rhs.reshape(C * 6)).reshape(C, 6)
+    # S is SPD after masking: Cholesky solve.
+    dc = jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(S), rhs.reshape(C * 6)
+    ).reshape(C, 6)
     return dc * free_cam[:, None]
 
 

@@ -718,6 +718,9 @@ class Tracking:
         local_pts = self._local_points(local_kfs)
         if len(local_pts) == 0:
             return False, None, None
+        # Fixed capacity: ONE compiled program for the whole run (dynamic
+        # bucketing was tried and recompile stalls at bucket transitions
+        # cost far more than the padded compute).
         cap = self.cfg.capacity.local_map_max_points
         pts_pad = np.full(cap, -1, np.int64)
         pts_pad[: len(local_pts)] = local_pts[:cap]
