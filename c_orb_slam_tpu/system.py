@@ -14,6 +14,7 @@ cvtColor, Tracking.cc:172-197).
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 import jax.numpy as jnp
@@ -61,33 +62,46 @@ class System:
         self.local_mapping.on_keyframe_done = self._on_mapping_done
         self.localization_only = False
         self.timestamps: list[float] = []
+        # Structured observability (SURVEY.md §5): per-frame records +
+        # per-stage timers, exportable as JSONL.
+        from c_orb_slam_tpu.utils.metrics import Metrics
+
+        self.metrics = Metrics()
 
     # ------------------------------------------------------------------
     def track_monocular(self, image, timestamp: float) -> Optional[np.ndarray]:
         assert self.cfg.sensor == Sensor.MONOCULAR
-        f = frame_mod.build_mono(_to_gray_f32(image), self.cfg)
+        with self.metrics.stage("frame_build"):
+            f = frame_mod.build_mono(_to_gray_f32(image), self.cfg)
         return self._track(f, timestamp)
 
     def track_stereo(self, left, right, timestamp: float) -> Optional[np.ndarray]:
         assert self.cfg.sensor == Sensor.STEREO
-        f = frame_mod.build_stereo(
-            _to_gray_f32(left), _to_gray_f32(right), self.cfg
-        )
+        with self.metrics.stage("frame_build"):
+            f = frame_mod.build_stereo(
+                _to_gray_f32(left), _to_gray_f32(right), self.cfg
+            )
         return self._track(f, timestamp)
 
     def track_rgbd(self, image, depth, timestamp: float) -> Optional[np.ndarray]:
         assert self.cfg.sensor == Sensor.RGBD
-        f = frame_mod.build_rgbd(
-            _to_gray_f32(image), jnp.asarray(depth, jnp.float32), self.cfg
-        )
+        with self.metrics.stage("frame_build"):
+            f = frame_mod.build_rgbd(
+                _to_gray_f32(image), jnp.asarray(depth, jnp.float32), self.cfg
+            )
         return self._track(f, timestamp)
 
     def _track(self, f, timestamp: float) -> Optional[np.ndarray]:
+        t0 = time.perf_counter()
         self.timestamps.append(timestamp)
         n_kf_before = self.map.n_keyframes
-        pose = self.tracker.track(f)
+        with self.metrics.stage("tracking"):
+            pose = self.tracker.track(f)
+        made_kf = self.map.n_keyframes > n_kf_before
         if not self.localization_only:
-            if self.map.n_keyframes > n_kf_before:
+            if made_kf:
+                self.metrics.count("keyframes_created",
+                                   self.map.n_keyframes - n_kf_before)
                 for k in range(n_kf_before, self.map.n_keyframes):
                     if self.map.n_keyframes > 2:
                         # Regular keyframe: enqueue for the mapping
@@ -101,7 +115,18 @@ class System:
             # One mapping stage per tracked frame: the host-loop analog of
             # the reference's concurrent LocalMapping thread (tracking
             # proceeds against a map that lags by a few frames).
-            self.local_mapping.step()
+            with self.metrics.stage("mapping_stage"):
+                self.local_mapping.step()
+        self.metrics.end_frame(
+            frame_id=self.tracker.frame_id,
+            timestamp=timestamp,
+            state=self.tracker.state,
+            n_inliers=self.tracker.current_inliers,
+            n_keyframes=len(self.map.live_keyframes()),
+            n_points=int(self.map.pt_valid.sum()),
+            is_keyframe=made_kf,
+            total_ms=(time.perf_counter() - t0) * 1000.0,
+        )
         return pose
 
     def _on_mapping_done(self, kf: int):
