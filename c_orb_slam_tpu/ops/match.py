@@ -17,6 +17,7 @@ ComputeThreeMaxima) is a 30-bin histogram vote, batched.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -143,6 +144,14 @@ def epipolar_mask(
     return dsqr < thresh_chi2 * sigma2
 
 
+# Opt-in Pallas backend for search_by_projection (ops/pallas_match.py):
+# streams target tiles through VMEM instead of materializing (Q, T)
+# temporaries in HBM. Measured neutral at frame-scale shapes (Q,T ~ 1-8k,
+# where dispatch latency dominates both paths); enable for very large
+# maps or when profiling shows HBM pressure.
+USE_PALLAS = bool(os.environ.get("C_ORB_SLAM_TPU_PALLAS_MATCH"))
+
+
 def search_by_projection(
     proj_uv: jnp.ndarray,
     radii: jnp.ndarray,
@@ -163,6 +172,21 @@ def search_by_projection(
     Covers reference SearchByProjection variants (ORBmatcher.cc:45-129
     local-map points; :1328-1470 motion model; :1472-1599 reloc).
     """
+    if USE_PALLAS:
+        from c_orb_slam_tpu.ops import pallas_match
+
+        best, idx, second = pallas_match.window_top2(
+            desc_q, proj_uv, radii, octave_lo, octave_hi, valid_q,
+            desc_t, xy_t, octave_t, valid_t,
+        )
+        ok = best <= max_dist
+        if nn_ratio < 1.0:
+            ok = ok & (
+                best.astype(jnp.float32)
+                < nn_ratio * second.astype(jnp.float32)
+            )
+        ok = ok & _is_target_winner(idx, best, ok, desc_t.shape[0])
+        return Matches(idx=idx, dist=best, valid=ok)
     mask = window_mask(proj_uv, radii, xy_t) & octave_mask(
         octave_t, octave_lo, octave_hi
     )
