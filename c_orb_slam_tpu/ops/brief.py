@@ -41,6 +41,48 @@ def brief_pattern(seed: int = 7) -> np.ndarray:
     return np.clip(np.round(pts), -PATTERN_CLIP, PATTERN_CLIP).astype(np.int32)
 
 
+# Discrete steered BRIEF: the original ORB paper quantizes the keypoint
+# angle to 2*pi/30 increments and precomputes one rotated pattern per bin
+# ("we discretize the angle ... and construct a lookup table"). On TPU the
+# lookup becomes a constant one-hot selection matrix, so descriptor
+# sampling is ONE MXU matmul over gathered patches instead of per-bit
+# random gathers (XLA gathers are the slow path on TPU).
+N_BINS = 30
+PATCH_FLAT = (2 * PATCH_HALF + 1) ** 2
+
+
+@functools.lru_cache(maxsize=4)
+def _rotated_index_table(seed: int = 7) -> np.ndarray:
+    """(N_BINS, 512) int32 flat 37x37-patch indices: per bin, the rotated
+    sample position of the 256 'a' points then the 256 'b' points."""
+    pat = brief_pattern(seed).astype(np.float64)
+    size = 2 * PATCH_HALF + 1
+    out = np.zeros((N_BINS, 2 * N_BITS), np.int32)
+    for r in range(N_BINS):
+        th = 2.0 * np.pi * r / N_BINS
+        c, s = np.cos(th), np.sin(th)
+        for half, (oy, ox) in enumerate([(0, 1), (2, 3)]):
+            y, x = pat[:, oy], pat[:, ox]
+            # Same rotation convention as the reference
+            # (ORBextractor.cc:120-121).
+            ix = np.clip(np.round(c * x - s * y).astype(np.int64) + PATCH_HALF, 0, size - 1)
+            iy = np.clip(np.round(s * x + c * y).astype(np.int64) + PATCH_HALF, 0, size - 1)
+            out[r, half * N_BITS:(half + 1) * N_BITS] = iy * size + ix
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _selection_matrix(seed: int = 7):
+    """(N_BINS * 512, PATCH_FLAT) bf16 one-hot selection — a constant;
+    sampling = patches @ S.T on the MXU (bits exact in bf16, a single
+    nonzero per row so the f32 accumulation is exact)."""
+    table = _rotated_index_table(seed)  # (N_BINS, 512)
+    flat = table.reshape(-1)
+    S = np.zeros((flat.shape[0], PATCH_FLAT), np.float32)
+    S[np.arange(flat.shape[0]), flat] = 1.0
+    return jnp.asarray(S, jnp.bfloat16)
+
+
 def compute_descriptors(
     image_blurred: jnp.ndarray,
     yx: jnp.ndarray,
@@ -53,13 +95,33 @@ def compute_descriptors(
     describing, ORBextractor.cc:1086). angles: (N,) radians.
     Returns (N, 8) uint32.
     """
+    if jax.default_backend() == "tpu":
+        # Discrete-rotation path (ORB-paper 30-bin steering): gather a
+        # 37x37 patch per keypoint (dynamic_slice — fast), then sample all
+        # 30 rotated patterns with one constant one-hot matmul on the MXU
+        # and select the keypoint's bin. Random per-bit gathers (the slow
+        # lowering on TPU) never happen.
+        n = yx.shape[0]
+        patches = orient.gather_patches(image_blurred, yx, PATCH_HALF)
+        flat = patches.reshape(n, PATCH_FLAT).astype(jnp.bfloat16)
+        S = _selection_matrix(seed)  # (N_BINS*512, PATCH_FLAT)
+        vals = jnp.dot(
+            flat, S.T, preferred_element_type=jnp.float32
+        ).reshape(n, N_BINS, 2 * N_BITS)
+        bins = (
+            jnp.round(angles * (N_BINS / (2.0 * np.pi))).astype(jnp.int32)
+            % N_BINS
+        )
+        sel = jnp.take_along_axis(vals, bins[:, None, None], axis=1)[:, 0]
+        bits = (sel[:, :N_BITS] < sel[:, N_BITS:]).astype(jnp.uint8)
+        return pack_bits(bits)
+
+    # Continuous-rotation path (CPU/other backends): rotate pattern
+    # offsets per keypoint and gather the 2x256 sample points straight
+    # from the image.
     pat = jnp.asarray(brief_pattern(seed), dtype=jnp.float32)  # (256, 4)
     h, w = image_blurred.shape
     cos, sin = jnp.cos(angles), jnp.sin(angles)  # (N,)
-
-    # Rotate pattern offsets per keypoint and gather the 2x256 sample
-    # points straight from the image — no 37x37 patch materialization
-    # (2.7x less gather traffic than the patch route).
     ay, ax, by, bx = pat[:, 0], pat[:, 1], pat[:, 2], pat[:, 3]
 
     def sample(y, x):
