@@ -238,11 +238,19 @@ class LocalMapping:
                     return
                 self._current_kf = self.queue.pop(0)
                 kf = self._current_kf
+                # Each batched stage is split into a dispatch half (enqueue
+                # device work, return immediately) and an apply half (one
+                # readback + host bookkeeping) run on the NEXT frame — so
+                # the device crunches mapping work while the host tracks,
+                # like the reference's concurrent mapping thread.
                 self._stages = [
                     lambda k=kf: self._cull_recent_points(k),
-                    lambda k=kf: self._create_new_points(k),
-                    lambda k=kf: self._fuse_neighbors(k),
-                    lambda k=kf: self._local_ba_if_ready(k),
+                    lambda k=kf: self._triangulate_dispatch(k),
+                    lambda k=kf: self._triangulate_apply(),
+                    lambda k=kf: self._fuse_dispatch(k),
+                    lambda k=kf: self._fuse_apply(),
+                    lambda k=kf: self._ba_dispatch_if_ready(k),
+                    lambda k=kf: self._ba_apply(),
                     lambda k=kf: self._finish_keyframe(k),
                 ]
             self._stages.pop(0)()
@@ -253,9 +261,9 @@ class LocalMapping:
         while self.queue or self._stages:
             self.step()
 
-    def _local_ba_if_ready(self, kf: int):
+    def _ba_dispatch_if_ready(self, kf: int):
         if len(self.map.live_keyframes()) > 2:
-            self._local_ba(kf)
+            self._ba_dispatch(kf)
 
     def _finish_keyframe(self, kf: int):
         self._cull_keyframes(kf)
@@ -307,19 +315,25 @@ class LocalMapping:
     # ------------------------------------------------------------------
     def _create_new_points(self, kf: int):
         """Triangulate unmatched keypoints against covisible neighbors
-        (reference: LocalMapping.cc:207-452) — all neighbor pairs in one
-        batched dispatch + one readback."""
+        (reference: LocalMapping.cc:207-452): one batched dispatch + one
+        readback. Synchronous wrapper; the pipeline runs the dispatch and
+        apply halves on different frames so device compute overlaps the
+        next tracked frame."""
+        self._triangulate_dispatch(kf)
+        self._triangulate_apply()
+
+    def _triangulate_dispatch(self, kf: int):
+        self._pending_tri = None
         n_neigh = (
             self.cfg.mapping.triangulation_neighbors_mono
             if self.cfg.sensor == Sensor.MONOCULAR
             else self.cfg.mapping.triangulation_neighbors_stereo
         )
         neighbors = self.map.covisible_keyframes(kf, n=n_neigh, min_weight=1)
-        T1 = self.map.kf_pose[kf]
         c1 = self.map.keyframe_center(kf)
         med_depth = self._median_depth(kf)
 
-        pairs = []
+        k2s = []
         for k2 in neighbors:
             c2 = self.map.keyframe_center(k2)
             baseline = float(np.linalg.norm(c2 - c1))
@@ -330,17 +344,15 @@ class LocalMapping:
             else:
                 if baseline < self.cfg.camera.baseline:
                     continue
-            pairs.append(k2)
-        if not pairs:
+            k2s.append(k2)
+        if not k2s:
             return
-        self._triangulate_batch(kf, pairs, n_pad=n_neigh)
-
-    def _triangulate_batch(self, k1: int, k2s: list[int], n_pad: int):
         mp = self.map
+        k1 = kf
         free1 = mp.kf_kp_valid[k1] & (mp.kf_mp[k1] < 0)
         if free1.sum() < 5:
             return
-        P = n_pad  # static pair capacity: compile once per config
+        P = n_neigh  # static pair capacity: compile once per config
         ks = (k2s + [k2s[-1]] * P)[:P]
         pair_valid = np.zeros(P, bool)
         pair_valid[: min(len(k2s), P)] = True
@@ -349,26 +361,33 @@ class LocalMapping:
         if not pair_valid.any():
             return
 
-        src1, idx2, good, xw = fetch(
-            *_triangulate_pairs_batch(
-                self.cfg,
-                jnp.asarray(mp.kf_pose[k1]),
-                jnp.asarray(mp.kf_xy[k1]),
-                jnp.asarray(mp.kf_octave[k1]),
-                jnp.asarray(mp.kf_desc[k1]),
-                jnp.asarray(free1),
-                jnp.asarray(mp.kf_pose[ks]),
-                jnp.asarray(mp.kf_xy[ks]),
-                jnp.asarray(mp.kf_octave[ks]),
-                jnp.asarray(mp.kf_desc[ks]),
-                jnp.asarray(free2),
-                jnp.asarray(pair_valid),
-                self.K,
-                jnp.asarray(self.sigma2),
-            )
+        result = _triangulate_pairs_batch(
+            self.cfg,
+            jnp.asarray(mp.kf_pose[k1]),
+            jnp.asarray(mp.kf_xy[k1]),
+            jnp.asarray(mp.kf_octave[k1]),
+            jnp.asarray(mp.kf_desc[k1]),
+            jnp.asarray(free1),
+            jnp.asarray(mp.kf_pose[ks]),
+            jnp.asarray(mp.kf_xy[ks]),
+            jnp.asarray(mp.kf_octave[ks]),
+            jnp.asarray(mp.kf_desc[ks]),
+            jnp.asarray(free2),
+            jnp.asarray(pair_valid),
+            self.K,
+            jnp.asarray(self.sigma2),
         )
+        self._pending_tri = (k1, ks, k2s, pair_valid, result)
+
+    def _triangulate_apply(self):
+        if getattr(self, "_pending_tri", None) is None:
+            return
+        k1, ks, k2s, pair_valid, result = self._pending_tri
+        self._pending_tri = None
+        mp = self.map
+        src1, idx2, good, xw = fetch(*result)
         n_new = 0
-        for pi in range(P):
+        for pi in range(len(ks)):
             if not pair_valid[pi]:
                 continue
             k2 = ks[pi]
@@ -404,7 +423,13 @@ class LocalMapping:
         """Two-way duplicate fusion with first/second-order neighbors
         (reference: LocalMapping.cc:454-534 SearchInNeighbors) — every
         (src→dst) pair matched in one batched dispatch + one readback;
-        the merge bookkeeping stays on host."""
+        the merge bookkeeping stays on host. Synchronous wrapper; the
+        pipeline splits dispatch and apply across frames."""
+        self._fuse_dispatch(kf)
+        self._fuse_apply()
+
+    def _fuse_dispatch(self, kf: int):
+        self._pending_fuse = None
         mp = self.map
         neighbors = mp.covisible_keyframes(kf, n=10, min_weight=15)
         ring = set(neighbors)
@@ -447,24 +472,31 @@ class LocalMapping:
         safe = np.maximum(pts_arr, 0)
         dsts = [d for _, d in live_pairs]
 
-        src_rows, m_idx, m_valid = fetch(
-            *_fuse_pairs_batch(
-                self.cfg,
-                jnp.asarray(mp.kf_pose[dsts]),
-                jnp.asarray(mp.kf_xy[dsts]),
-                jnp.asarray(mp.kf_octave[dsts]),
-                jnp.asarray(mp.kf_desc[dsts]),
-                jnp.asarray(mp.kf_kp_valid[dsts]),
-                jnp.asarray(mp.pt_xyz[safe]),
-                jnp.asarray(mp.pt_normal[safe]),
-                jnp.asarray(mp.pt_min_dist[safe]),
-                jnp.asarray(mp.pt_max_dist[safe]),
-                jnp.asarray(mp.pt_desc[safe]),
-                jnp.asarray(pts_arr >= 0),
-                self.K,
-                jnp.asarray(self.sf),
-            )
+        result = _fuse_pairs_batch(
+            self.cfg,
+            jnp.asarray(mp.kf_pose[dsts]),
+            jnp.asarray(mp.kf_xy[dsts]),
+            jnp.asarray(mp.kf_octave[dsts]),
+            jnp.asarray(mp.kf_desc[dsts]),
+            jnp.asarray(mp.kf_kp_valid[dsts]),
+            jnp.asarray(mp.pt_xyz[safe]),
+            jnp.asarray(mp.pt_normal[safe]),
+            jnp.asarray(mp.pt_min_dist[safe]),
+            jnp.asarray(mp.pt_max_dist[safe]),
+            jnp.asarray(mp.pt_desc[safe]),
+            jnp.asarray(pts_arr >= 0),
+            self.K,
+            jnp.asarray(self.sf),
         )
+        self._pending_fuse = (kf, live_pairs, pts_arr, n_real, result)
+
+    def _fuse_apply(self):
+        if getattr(self, "_pending_fuse", None) is None:
+            return
+        kf, live_pairs, pts_arr, n_real, result = self._pending_fuse
+        self._pending_fuse = None
+        mp = self.map
+        src_rows, m_idx, m_valid = fetch(*result)
         for pi in range(n_real):
             _, dst = live_pairs[pi]
             pts = pts_arr[pi]
@@ -491,7 +523,13 @@ class LocalMapping:
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int):
         """Windowed BA on the covisibility neighborhood (reference:
-        Optimizer.cc:453-778 LocalBundleAdjustment)."""
+        Optimizer.cc:453-778 LocalBundleAdjustment). Synchronous wrapper;
+        the pipeline splits dispatch and apply across frames."""
+        self._ba_dispatch(kf)
+        self._ba_apply()
+
+    def _ba_dispatch(self, kf: int):
+        self._pending_ba = None
         mp = self.map
         cap = self.cfg.capacity
         local = [kf] + mp.covisible_keyframes(
@@ -607,12 +645,23 @@ class LocalMapping:
             pcg_iters=self.cfg.optimizer.pcg_iters,
             schur="dense",  # local window: direct MXU Schur solve
         )
+        self._pending_ba = (
+            cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
+            result,
+        )
+
+    def _ba_apply(self):
+        if getattr(self, "_pending_ba", None) is None:
+            return
+        (cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
+         result) = self._pending_ba
+        self._pending_ba = None
+        mp = self.map
         new_T, new_pts, inlier = fetch(
             result.cam_T, result.points, result.obs_inlier
         )
         _dbg(
-            f"localBA: cams={len(cams)} local={len(local)} fixed={int(cam_fixed[cam_valid].sum())}"
-            f" pts={len(pts)} obs={n_obs}"
+            f"localBA: cams={len(cam_slot)} pts={len(pts)} obs={n_obs}"
             f" inliers={int(inlier.sum())}"
         )
         for k, i in cam_slot.items():
@@ -622,6 +671,8 @@ class LocalMapping:
         # Erase outlier observations (reference: Optimizer.cc:745-757).
         for oi in np.nonzero(~inlier[:n_obs] & obs_valid[:n_obs])[0]:
             p = int(pts[obs_pt[oi]])
+            if not mp.pt_valid[p]:
+                continue
             mp.erase_observation(p, int(kfs_sel[oi]))
             if mp.pt_n_obs[p] <= 1:
                 mp.erase_point(p)
