@@ -223,9 +223,11 @@ class System:
 
     def save_map(self, path: str):
         """Checkpoint the full map + vocabulary (the reference's
-        never-implemented SaveMap TODO, System.h:115-117)."""
+        never-implemented SaveMap TODO, System.h:115-117). Drains the
+        mapping pipeline first so the snapshot is fully processed."""
         from c_orb_slam_tpu.io import checkpoint
 
+        self.local_mapping.drain()
         voc = self.loop_closing.voc if self.loop_closing else None
         checkpoint.save_map(path, self.map, voc)
 
