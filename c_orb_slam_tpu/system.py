@@ -41,9 +41,7 @@ def _to_gray_f32(image) -> jnp.ndarray:
 class System:
     def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True):
         self.cfg = cfg
-        self.map = MapState(cfg)
-        self.tracker = Tracking(cfg, self.map)
-        self.local_mapping = LocalMapping(cfg, self.map)
+        self._enable_loop_closing = enable_loop_closing
         vocabulary = None
         if cfg.vocabulary.path:
             from c_orb_slam_tpu.bow import vocab as vocab_mod
@@ -52,14 +50,7 @@ class System:
                 vocabulary = vocab_mod.load_dbow2_text(cfg.vocabulary.path)
             else:
                 vocabulary = vocab_mod.load(cfg.vocabulary.path)
-        self.loop_closing = (
-            LoopClosing(cfg, self.map, vocabulary) if enable_loop_closing else None
-        )
-        if self.loop_closing is not None:
-            self.loop_closing.on_pose_correction = self._on_loop_correction
-            self.tracker.reloc_provider = self.loop_closing
-        self.tracker.mapper = self.local_mapping
-        self.local_mapping.on_keyframe_done = self._on_mapping_done
+        self._build_pipeline(MapState(cfg), vocabulary)
         self.localization_only = False
         self.timestamps: list[float] = []
         # Structured observability (SURVEY.md §5): per-frame records +
@@ -67,6 +58,27 @@ class System:
         from c_orb_slam_tpu.utils.metrics import Metrics
 
         self.metrics = Metrics()
+
+    def _build_pipeline(self, map_state: MapState, vocabulary):
+        """Construct tracker/mapper/loop-closer over `map_state` and wire
+        their cross-references. Shared by __init__, reset() and
+        from_saved_map() so no path can drop the wiring (the reference
+        keeps its threads alive across Reset; here the stage objects are
+        rebuilt, so the cross-pointer wiring of System.cc:106-113 must be
+        repeated every time)."""
+        self.map = map_state
+        self.tracker = Tracking(self.cfg, self.map)
+        self.local_mapping = LocalMapping(self.cfg, self.map)
+        self.loop_closing = (
+            LoopClosing(self.cfg, self.map, vocabulary)
+            if self._enable_loop_closing
+            else None
+        )
+        if self.loop_closing is not None:
+            self.loop_closing.on_pose_correction = self._on_loop_correction
+            self.tracker.reloc_provider = self.loop_closing
+        self.tracker.mapper = self.local_mapping
+        self.local_mapping.on_keyframe_done = self._on_mapping_done
 
     # ------------------------------------------------------------------
     def track_monocular(self, image, timestamp: float) -> Optional[np.ndarray]:
@@ -165,15 +177,10 @@ class System:
 
     def reset(self):
         """Reference: System::Reset -> Tracking::Reset (Tracking.cc:1504)."""
-        self.map = MapState(self.cfg)
-        self.tracker = Tracking(self.cfg, self.map)
-        self.local_mapping = LocalMapping(self.cfg, self.map)
-        if self.loop_closing is not None:
-            voc = self.loop_closing.voc  # keep the (possibly trained) vocab
-            self.loop_closing = LoopClosing(self.cfg, self.map, voc)
-            self.loop_closing.on_pose_correction = self._on_loop_correction
-            self.tracker.reloc_provider = self.loop_closing
+        voc = self.loop_closing.voc if self.loop_closing else None
+        self._build_pipeline(MapState(self.cfg), voc)
         self.timestamps = []
+        self.metrics.reset()
 
     def shutdown(self):
         """Drain the mapping pipeline (the reference joins its threads,
@@ -242,16 +249,10 @@ class System:
 
         sysm = cls(cfg)
         m, voc = checkpoint.load_map(path, cfg)
-        sysm.map = m
-        sysm.tracker = Tracking(cfg, m)
-        sysm.local_mapping = LocalMapping(cfg, m)
-        if sysm.loop_closing is not None:
-            sysm.loop_closing = LoopClosing(cfg, m, voc)
-            sysm.loop_closing.on_pose_correction = sysm._on_loop_correction
-            sysm.tracker.reloc_provider = sysm.loop_closing
-            if voc is not None:
-                for k in m.live_keyframes():
-                    sysm.loop_closing._index_keyframe(int(k))
+        sysm._build_pipeline(m, voc)
+        if sysm.loop_closing is not None and voc is not None:
+            for k in m.live_keyframes():
+                sysm.loop_closing._index_keyframe(int(k))
         live = m.live_keyframes()
         sysm.tracker.ref_kf = int(live[-1]) if len(live) else -1
         sysm.tracker.state = TrackState.LOST  # relocalize on first frame

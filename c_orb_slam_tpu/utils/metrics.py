@@ -58,6 +58,12 @@ class Metrics:
         tot[0] += dt
         tot[1] += 1
 
+    def reset(self):
+        self.records = []
+        self.stage_totals = {}
+        self.counters = {}
+        self._open_stages = {}
+
     def count(self, name: str, n: int = 1):
         self.counters[name] = self.counters.get(name, 0) + n
 
