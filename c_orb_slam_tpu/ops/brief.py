@@ -72,15 +72,17 @@ def _rotated_index_table(seed: int = 7) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=4)
-def _selection_matrix(seed: int = 7):
-    """(N_BINS * 512, PATCH_FLAT) bf16 one-hot selection — a constant;
-    sampling = patches @ S.T on the MXU (bits exact in bf16, a single
-    nonzero per row so the f32 accumulation is exact)."""
+def _selection_matrix(seed: int = 7) -> np.ndarray:
+    """(N_BINS * 512, PATCH_FLAT) f32 one-hot selection — a host constant
+    (numpy, NOT a device array: caching a jnp array created inside a jit
+    trace leaks a tracer into every later trace); sampling = patches @ S.T
+    on the MXU. One nonzero per row, f32 throughout: sampled values are
+    exact, so BRIEF comparisons match the gather path bit-for-bit."""
     table = _rotated_index_table(seed)  # (N_BINS, 512)
     flat = table.reshape(-1)
     S = np.zeros((flat.shape[0], PATCH_FLAT), np.float32)
     S[np.arange(flat.shape[0]), flat] = 1.0
-    return jnp.asarray(S, jnp.bfloat16)
+    return S
 
 
 def compute_descriptors(
@@ -103,8 +105,8 @@ def compute_descriptors(
         # lowering on TPU) never happen.
         n = yx.shape[0]
         patches = orient.gather_patches(image_blurred, yx, PATCH_HALF)
-        flat = patches.reshape(n, PATCH_FLAT).astype(jnp.bfloat16)
-        S = _selection_matrix(seed)  # (N_BINS*512, PATCH_FLAT)
+        flat = patches.reshape(n, PATCH_FLAT)
+        S = jnp.asarray(_selection_matrix(seed))  # (N_BINS*512, PATCH_FLAT)
         vals = jnp.dot(
             flat, S.T, preferred_element_type=jnp.float32
         ).reshape(n, N_BINS, 2 * N_BITS)

@@ -1,0 +1,59 @@
+"""Per-stage breakdown of the bench scenario (run on the real chip).
+
+Usage: python tools/profile_stages.py [n_frames]
+Prints the metrics summary plus fine-grained timers.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from c_orb_slam_tpu.config import CameraConfig, OrbConfig, SlamConfig, Sensor
+    from c_orb_slam_tpu.system import System
+    from synthetic import blob_world, render_scene, smooth_trajectory
+
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    cam = CameraConfig(fx=500, fy=500, cx=320, cy=240, width=640, height=480, fps=10)
+    cfg = SlamConfig(
+        sensor=Sensor.MONOCULAR,
+        camera=cam,
+        orb=OrbConfig(n_features=1000, n_levels=8),
+    )
+    xw, inten, size = blob_world(400, seed=5)
+    traj = smooth_trajectory(n_frames)
+    K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
+    frames = [render_scene(xw, inten, size, traj[i], K4) for i in range(n_frames)]
+
+    sysm = System(cfg)
+    for i in range(12):
+        sysm.track_monocular(frames[i], i * 0.1)
+    sysm.metrics.reset()
+
+    t0 = time.perf_counter()
+    per_frame = []
+    for i in range(12, n_frames):
+        tf = time.perf_counter()
+        sysm.track_monocular(frames[i], i * 0.1)
+        per_frame.append((time.perf_counter() - tf) * 1000)
+    dt = time.perf_counter() - t0
+    n_timed = n_frames - 12
+
+    print(json.dumps(sysm.metrics.summary(), indent=2))
+    print(f"fps={n_timed/dt:.2f}  median_frame_ms={np.median(per_frame):.1f}  "
+          f"mean={np.mean(per_frame):.1f}  max={np.max(per_frame):.1f}")
+    print("frame times:", " ".join(f"{t:.0f}" for t in per_frame))
+
+
+if __name__ == "__main__":
+    main()
