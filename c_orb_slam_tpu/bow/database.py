@@ -35,6 +35,34 @@ class SparseBow(NamedTuple):
     n: int
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def aggregate_bow_dev(word: jnp.ndarray, weight: jnp.ndarray, cap: int):
+    """Device-side aggregate_bow: per-descriptor (word, idf) -> sorted
+    unique (word, tf*idf) L1-normalized, fixed capacity. Unique words never
+    exceed the descriptor count, so cap >= N loses nothing. Runs on device
+    so the transform -> aggregate -> score chain needs NO host round trip.
+    """
+    big = jnp.int32(1 << 30)
+    key = jnp.where(word >= 0, word.astype(jnp.int32), big)
+    order = jnp.argsort(key)
+    w_s = key[order]
+    wt_s = weight[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), w_s[1:] != w_s[:-1]]
+    ) & (w_s < big)
+    gid = jnp.where(
+        w_s < big, jnp.cumsum(first.astype(jnp.int32)) - 1, cap
+    )
+    acc = jax.ops.segment_sum(
+        jnp.where(w_s < big, wt_s, 0.0), gid, num_segments=cap + 1
+    )[:cap]
+    uniq = jnp.full((cap,), big, jnp.int32).at[gid].set(w_s, mode="drop")
+    valid = uniq < big
+    acc = jnp.where(valid, acc, 0.0)
+    acc = acc / jnp.maximum(jnp.sum(acc), 1e-12)
+    return jnp.where(valid, uniq, -1), acc
+
+
 def aggregate_bow(fb: FrameBow, cap: int) -> SparseBow:
     """Per-descriptor (word, idf) -> sorted unique (word, tf*idf), L1-norm
     (reference: BowVector::addWeight + normalize, BowVector.h:56-84)."""
@@ -86,49 +114,82 @@ def _score_all(
     return score, n_shared
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_row(A: jnp.ndarray, i: jnp.ndarray, row: jnp.ndarray) -> jnp.ndarray:
+    return A.at[i].set(row)
+
+
 class KeyFrameDatabase:
-    """Host-side container of per-KF sparse BoW vectors + batched queries."""
+    """Per-KF sparse BoW vectors, DEVICE-resident (uploading the full
+    (Nk, cap) tables per query cost ~25 ms on the tunneled runtime; rows
+    are updated in place with buffer donation), + batched device queries."""
 
     def __init__(self, voc: Vocabulary, max_keyframes: int, cap: int):
         self.voc = voc
         self.cap = cap
-        self.word = np.full((max_keyframes, cap), -1, np.int64)
-        self.weight = np.zeros((max_keyframes, cap), np.float32)
-        self.valid = np.zeros(max_keyframes, bool)
+        self.word_dev = jnp.full((max_keyframes, cap), -1, jnp.int32)
+        self.weight_dev = jnp.zeros((max_keyframes, cap), jnp.float32)
+        self.valid = np.zeros(max_keyframes, bool)  # host (tiny)
+
+    def add_dev(self, kf: int, word: jnp.ndarray, weight: jnp.ndarray):
+        """word/weight: (cap,) device arrays from aggregate_bow_dev."""
+        self.word_dev = _set_row(self.word_dev, jnp.int32(kf), word)
+        self.weight_dev = _set_row(self.weight_dev, jnp.int32(kf), weight)
+        self.valid[kf] = True
 
     def add(self, kf: int, bow: SparseBow):
-        self.word[kf] = bow.word
-        self.weight[kf] = bow.weight
-        self.valid[kf] = True
+        self.add_dev(
+            kf,
+            jnp.asarray(bow.word, jnp.int32),
+            jnp.asarray(bow.weight, jnp.float32),
+        )
 
     def erase(self, kf: int):
         self.valid[kf] = False
 
-    def scores(self, query: SparseBow, exclude=()):
-        """(score, n_shared_words) arrays over all keyframe slots."""
+    def scores_dev(self, q_word: jnp.ndarray, q_weight: jnp.ndarray, exclude=()):
+        """Device (score, n_shared) over all keyframe slots — no readback;
+        callers prefetch and fetch when the latency window has passed."""
         valid = self.valid.copy()
         for k in exclude:
             if k >= 0:
                 valid[k] = False
-        score, n_shared = _score_all(
-            jnp.asarray(query.word), jnp.asarray(query.weight),
-            jnp.asarray(self.word), jnp.asarray(self.weight),
+        return _score_all(
+            q_word, q_weight, self.word_dev, self.weight_dev,
             jnp.asarray(valid), self.voc.n_words,
         )
-        return np.asarray(score), np.asarray(n_shared)
+
+    def scores(self, query: SparseBow, exclude=()):
+        """(score, n_shared_words) numpy arrays over all keyframe slots."""
+        score, n_shared = self.scores_dev(
+            jnp.asarray(query.word, jnp.int32),
+            jnp.asarray(query.weight, jnp.float32),
+            exclude,
+        )
+        import jax as _jax
+
+        score, n_shared = _jax.device_get((score, n_shared))
+        return score, n_shared
 
     # ------------------------------------------------------------------
     def detect_loop_candidates(
         self, query: SparseBow, min_score: float, connected, mapstate, query_kf: int
     ) -> list[int]:
-        """Reference: KeyFrameDatabase::DetectLoopCandidates (:76-197).
-
-        connected: covisible KFs of the query (excluded, like the inverted
-        file skips them, :93-96). Group score accumulation over each
-        candidate's top-10 covisibles (:148-173); keep > 0.75 * best
-        (:176-193)."""
         exclude = set(connected) | {query_kf}
         score, n_shared = self.scores(query, exclude=exclude)
+        return self.detect_loop_candidates_from(
+            score, n_shared, min_score, mapstate
+        )
+
+    def detect_loop_candidates_from(
+        self, score: np.ndarray, n_shared: np.ndarray, min_score: float, mapstate
+    ) -> list[int]:
+        """Reference: KeyFrameDatabase::DetectLoopCandidates (:76-197).
+
+        score/n_shared: fetched outputs of scores_dev (the query's covisible
+        KFs must already be excluded, like the inverted file skips them,
+        :93-96). Group score accumulation over each candidate's top-10
+        covisibles (:148-173); keep > 0.75 * best (:176-193)."""
         if n_shared.max(initial=0) == 0:
             return []
         min_common = max(0.8 * n_shared.max(), 1.0)

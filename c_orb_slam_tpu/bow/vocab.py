@@ -229,6 +229,20 @@ def train_vocabulary(
 # ---------------------------------------------------------------------------
 
 
+def builtin_vocabulary_path() -> Optional[str]:
+    """Path of the shipped pretrained vocabulary artifact (k=10, L=5,
+    trained by tools/train_vocab.py — the stand-in for the reference's
+    ORBvoc.txt, absent from its snapshot), or None if not packaged."""
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "assets",
+        "vocab_k10_L5.npz",
+    )
+    p = os.path.normpath(p)
+    return p if os.path.exists(p) else None
+
+
 def save(voc: Vocabulary, path: str):
     np.savez_compressed(
         path,

@@ -251,6 +251,9 @@ class CapacityConfig:
     # Local tracked map capacity (reference caps local KFs at 80,
     # Tracking.cc:1285; points capped here for static shapes).
     local_map_max_points: int = 8192
+    # Fuse stage: fixed (src,dst) pair capacity (static shape — a growing
+    # bucket recompiled the fuse kernel mid-run).
+    fuse_max_pairs: int = 32
 
 
 @dataclass(frozen=True)
@@ -264,9 +267,11 @@ class VocabularyConfig:
     # Frame.cc:400).
     levels_up: int = 2
     seed: int = 42
-    # Optional pretrained vocabulary (.npz from bow.vocab.save, or a
-    # DBoW2 .txt convertible via bow.vocab.load_dbow2_text). When absent
-    # the vocabulary is trained from the first keyframes of the run.
+    # Vocabulary source: None (default) loads the shipped pretrained
+    # artifact (c_orb_slam_tpu/assets/vocab_k10_L5.npz, the analog of the
+    # reference's ORBvoc.txt); a path loads that file (.npz from
+    # bow.vocab.save, or DBoW2 .txt via bow.vocab.load_dbow2_text);
+    # "online" trains from the first keyframes of the run.
     path: Optional[str] = None
     train_keyframes: int = 4
 

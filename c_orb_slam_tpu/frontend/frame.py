@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from c_orb_slam_tpu.config import SlamConfig
 from c_orb_slam_tpu.geometry import camera
-from c_orb_slam_tpu.ops import extract, hamming, match
+from c_orb_slam_tpu.ops import extract, hamming, match, orient, pyramid
 
 
 class FrameData(NamedTuple):
@@ -75,18 +75,76 @@ def build_rgbd(
     return f._replace(depth=jnp.where(has, d, -1.0), ur=ur)
 
 
+def _stereo_subpixel(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: SlamConfig,
+    xy_raw: jnp.ndarray,
+    octave: jnp.ndarray,
+    ur: jnp.ndarray,
+    has: jnp.ndarray,
+):
+    """SAD parabola refinement of the matched right coordinate at each
+    keypoint's pyramid level (reference: Frame.cc:552-618): an 11x11
+    center-normalized window slides +-5 px in the scaled right image; the
+    quadratic through the best three SADs gives the subpixel correction.
+    Returns (refined ur, keep mask, best SAD per keypoint)."""
+    W = 5  # reference w=5 (Frame.cc:554)
+    n_levels = cfg.orb.n_levels
+    sfs = cfg.orb.scale_factors()
+    levels_l = pyramid.build_pyramid(left, n_levels, cfg.orb.scale_factor)
+    levels_r = pyramid.build_pyramid(right, n_levels, cfg.orb.scale_factor)
+
+    ur_out = ur
+    keep = jnp.zeros_like(has)
+    sad_out = jnp.full(ur.shape, jnp.inf, jnp.float32)
+    for lvl in range(n_levels):
+        il, irm = levels_l[lvl], levels_r[lvl]
+        inv = 1.0 / sfs[lvl]
+        uL = jnp.round(xy_raw[:, 0] * inv).astype(jnp.int32)
+        vL = jnp.round(xy_raw[:, 1] * inv).astype(jnp.int32)
+        uR0 = jnp.round(ur * inv).astype(jnp.int32)
+        pl = orient.gather_patches(il, jnp.stack([vL, uL], 1), W)  # (N,11,11)
+        pr = orient.gather_patches(irm, jnp.stack([vL, uR0], 1), 2 * W)
+        pr = pr[:, W : 3 * W + 1, :]  # (N, 11, 21)
+        pl_n = pl - pl[:, W : W + 1, W : W + 1]
+        sads = []
+        for inc in range(2 * W + 1):
+            win = jax.lax.slice_in_dim(pr, inc, inc + 2 * W + 1, axis=2)
+            win_n = win - win[:, W : W + 1, W : W + 1]
+            sads.append(jnp.sum(jnp.abs(pl_n - win_n), axis=(1, 2)))
+        D = jnp.stack(sads, axis=1)  # (N, 11)
+        bi = jnp.argmin(D, axis=1).astype(jnp.int32)
+        interior = (bi > 0) & (bi < 2 * W)
+        bs = jnp.clip(bi, 1, 2 * W - 1)
+        d1 = jnp.take_along_axis(D, (bs - 1)[:, None], 1)[:, 0]
+        d2 = jnp.take_along_axis(D, bs[:, None], 1)[:, 0]
+        d3 = jnp.take_along_axis(D, (bs + 1)[:, None], 1)[:, 0]
+        denom = 2.0 * (d1 + d3 - 2.0 * d2)
+        delta = (d1 - d3) / jnp.where(jnp.abs(denom) < 1e-6, 1e-6, denom)
+        ok_lvl = interior & (jnp.abs(delta) <= 1.0)
+        ur_lvl = sfs[lvl] * (
+            uR0.astype(jnp.float32) + (bi - W).astype(jnp.float32) + delta
+        )
+        sel = (octave == lvl) & has
+        ur_out = jnp.where(sel & ok_lvl, ur_lvl, ur_out)
+        keep = keep | (sel & ok_lvl)
+        sad_out = jnp.where(sel & ok_lvl, d2, sad_out)
+    return ur_out, keep, sad_out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def build_stereo(
     left: jnp.ndarray, right: jnp.ndarray, cfg: SlamConfig
 ) -> FrameData:
-    """Stereo: extract on both images, row-banded Hamming match, subpixel
-    disparity -> depth (reference: Frame.cc:466-640 ComputeStereoMatches).
+    """Stereo: extract on both images, row-banded Hamming match, SAD
+    subpixel disparity -> depth (reference: Frame.cc:466-640
+    ComputeStereoMatches).
 
-    The reference's per-row candidate tables + per-keypoint SAD refinement
-    become: one masked (L, R) distance matrix with a row-band + disparity
-    window mask, then parabola refinement on descriptor distances of
-    left/right disparity neighbors is approximated by direct matching
-    (the dominant accuracy term is the detector's subpixel position).
+    The reference's per-row candidate tables become one masked (L, R)
+    distance matrix with a row-band + disparity window mask; the
+    per-keypoint sliding-SAD parabola refinement (:552-618) and the
+    median-SAD outlier trim (:626-639) run batched over all matches.
     """
     kl = extract.extract_orb(left, cfg.orb, cfg.vocabulary.seed)
     kr = extract.extract_orb(right, cfg.orb, cfg.vocabulary.seed)
@@ -112,10 +170,22 @@ def build_stereo(
         kl.desc, kr.desc, kl.valid, kr.valid, pair_mask=mask,
         max_dist=cfg.matcher.th_high, nn_ratio=1.0, unique_targets=False,
     )
-    ur = jnp.where(m.valid, kr.xy[m.idx, 0], -1.0)
+    ur0 = jnp.where(m.valid, kr.xy[m.idx, 0], -1.0)
+    ur, keep, sad = _stereo_subpixel(
+        left, right, cfg, kl.xy, kl.octave, ur0, m.valid
+    )
+    good = m.valid & keep
+    # Median-SAD outlier trim: drop matches with SAD >= 1.5*1.4*median
+    # (reference: Frame.cc:626-639 sorts vDistIdx and erases the tail).
+    val = jnp.where(good, sad, jnp.inf)
+    srt = jnp.sort(val)
+    cnt = jnp.sum(good.astype(jnp.int32))
+    med = srt[jnp.maximum((cnt - 1) // 2, 0)]
+    good = good & (sad < 1.5 * 1.4 * jnp.maximum(med, 1e-6))
+
     disparity = jnp.maximum(xy_u[:, 0] - ur, 0.01)
-    depth = jnp.where(m.valid, cfg.camera.bf / disparity, -1.0)
-    good = m.valid & (depth > 0)
+    depth = jnp.where(good, cfg.camera.bf / disparity, -1.0)
+    good = good & (depth > 0)
     return FrameData(
         xy=xy_u,
         xy_raw=kl.xy,

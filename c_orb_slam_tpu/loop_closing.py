@@ -28,8 +28,11 @@ import numpy as np
 import jax
 
 from c_orb_slam_tpu.bow import vocab as vocab_mod
-from c_orb_slam_tpu.bow.database import KeyFrameDatabase, SparseBow, aggregate_bow
+from c_orb_slam_tpu.bow.database import (
+    KeyFrameDatabase, SparseBow, aggregate_bow, aggregate_bow_dev, _set_row,
+)
 from c_orb_slam_tpu.config import SlamConfig, Sensor
+from c_orb_slam_tpu.utils.host import fetch, prefetch
 from c_orb_slam_tpu.geometry import camera, se3, sim3
 from c_orb_slam_tpu.ops import match, sim3solve
 from c_orb_slam_tpu.optim import ba as ba_mod
@@ -58,9 +61,14 @@ class LoopClosing:
         self.db: Optional[KeyFrameDatabase] = None
         Nk = mapstate.kf_desc.shape[0]
         self.kp_cap = mapstate.kf_desc.shape[1]
-        self.kf_node = np.full((Nk, self.kp_cap), -1, np.int32)
-        self.kf_bow: dict[int, SparseBow] = {}
+        # Per-keyframe vocabulary-node ids, device-resident (used as the
+        # BoW matching gate; uploading per query was a ~8MB h2d).
+        self.kf_node_dev = jnp.full((Nk, self.kp_cap), -1, jnp.int32)
         self._pending: list[int] = []  # keyframes awaiting vocabulary
+        # Detection pipeline: (kf, connected, node, bow_w, bow_wt,
+        # score_dev, n_shared_dev) dispatched this frame, applied next
+        # frame when the prefetched score readback has landed.
+        self._pending_detect = None
         self.last_loop_kf: int = -1000000
         self.consistent_groups: list[tuple[set, int]] = []
         self.loop_edges: list[tuple[int, int]] = []  # prior loop edges
@@ -99,24 +107,33 @@ class LoopClosing:
         self._pending.clear()
         return True
 
-    def _index_keyframe(self, kf: int):
-        """Transform descriptors -> (word, node); add BoW vector to the DB
-        (reference: ComputeBoW + KeyFrameDatabase::add)."""
+    def _ensure_db(self):
         if self.db is None:
             self.db = KeyFrameDatabase(
                 self.voc,
                 self.cfg.capacity.max_keyframes,
                 self.kp_cap,
             )
+
+    def _transform_kf(self, kf: int):
+        """Descriptor tree descent + device BoW aggregation for one KF —
+        everything stays on device (reference: Frame::ComputeBoW)."""
         fb = vocab_mod.transform(
             self.voc,
             jnp.asarray(self.map.kf_desc[kf]),
             jnp.asarray(self.map.kf_kp_valid[kf]),
         )
-        self.kf_node[kf] = np.asarray(fb.node)
-        bow = aggregate_bow(fb, self.kp_cap)
-        self.kf_bow[kf] = bow
-        self.db.add(kf, bow)
+        w, wt = aggregate_bow_dev(fb.word, fb.weight, self.kp_cap)
+        return fb, w, wt
+
+    def _index_keyframe(self, kf: int):
+        """Transform descriptors -> (word, node); add BoW vector to the DB
+        (reference: ComputeBoW + KeyFrameDatabase::add). Fetch-free: node
+        table and database rows are device-resident."""
+        self._ensure_db()
+        fb, w, wt = self._transform_kf(kf)
+        self.kf_node_dev = _set_row(self.kf_node_dev, jnp.int32(kf), fb.node)
+        self.db.add_dev(kf, w, wt)
 
     # ------------------------------------------------------------------
     def reloc_candidates(self, desc: np.ndarray, d_valid: np.ndarray) -> list[int]:
@@ -133,15 +150,36 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int) -> bool:
-        """Run the full loop pipeline for one new keyframe. Returns True
-        when a loop was closed and the map globally corrected."""
+        """Feed one new keyframe to the loop pipeline: apply any pending
+        detection first, then dispatch this keyframe's BoW scoring
+        (prefetched; the detection logic runs on a later step()). Returns
+        True when the pending apply closed a loop. The reference does the
+        same work on its LoopClosing thread (LoopClosing.cc:57-88); here
+        the stage is split so its device readback crosses a frame boundary
+        and costs ~0 (see utils/host.prefetch)."""
         if not self._ensure_vocabulary(kf):
             return False
         if kf in self._pending:
             self._pending.remove(kf)
+        closed = self.step()
+        self._dispatch(kf)
+        return closed
 
-        candidates = self._detect_loop(kf)
-        self._index_keyframe(kf)
+    def step(self) -> bool:
+        """Apply the pending detection, if any (called once per frame by
+        System inside the tracking readback window)."""
+        pd = self._pending_detect
+        if pd is None:
+            return False
+        self._pending_detect = None
+        kf, connected, node, w, wt, score_d, nsh_d = pd
+        # Index AFTER scoring (the query must not match itself; the
+        # reference adds to the inverted file after DetectLoop,
+        # LoopClosing.cc:85,228).
+        self.kf_node_dev = _set_row(self.kf_node_dev, jnp.int32(kf), node)
+        self.db.add_dev(kf, w, wt)
+        score, n_shared = fetch(score_d, nsh_d)
+        candidates = self._detect_from(kf, connected, score, n_shared)
         if not candidates:
             return False
         found = self._compute_sim3(kf, candidates)
@@ -155,34 +193,43 @@ class LoopClosing:
         self.map.big_change_idx += 1
         return True
 
+    def drain(self):
+        return self.step()
+
+    def _dispatch(self, kf: int):
+        self._ensure_db()
+        connected = self.map.covisible_keyframes(kf, n=1000, min_weight=1)
+        fb, w, wt = self._transform_kf(kf)
+        # Score ALL keyframes (the covisible scores define minScore); the
+        # covisible set is excluded from candidacy at apply time.
+        score, n_shared = self.db.scores_dev(w, wt)
+        prefetch(score, n_shared)
+        self._pending_detect = (kf, connected, fb.node, w, wt, score, n_shared)
+
     # ------------------------------------------------------------------
-    def _detect_loop(self, kf: int) -> list[int]:
+    def _detect_from(
+        self, kf: int, connected, score: np.ndarray, n_shared: np.ndarray
+    ) -> list[int]:
         """Reference: LoopClosing::DetectLoop (:103-229)."""
         if kf < self.last_loop_kf + self.cfg.loop.min_kf_gap or (
             len(self.map.live_keyframes()) < self.cfg.loop.min_kf_gap
         ):
             self.consistent_groups = []
             return []
-        bow = self.kf_bow.get(kf)
-        if bow is None:
-            fb = vocab_mod.transform(
-                self.voc,
-                jnp.asarray(self.map.kf_desc[kf]),
-                jnp.asarray(self.map.kf_kp_valid[kf]),
-            )
-            bow = aggregate_bow(fb, self.kp_cap)
-            self.kf_bow[kf] = bow
-
-        connected = self.map.covisible_keyframes(kf, n=1000, min_weight=1)
         # minScore: lowest BoW similarity among covisible KFs (:121-138).
-        if self.db is None:
-            return []
-        score, _ = self.db.scores(bow)
-        cov_scores = [score[c] for c in connected if self.db.valid[c]]
+        cov_scores = [score[c] for c in connected if self.db.valid[c] and score[c] >= 0]
         min_score = min(cov_scores) if cov_scores else 0.015
 
-        cands = self.db.detect_loop_candidates(
-            bow, float(min_score), connected, self.map, kf
+        # Candidacy excludes the covisible neighborhood + self (the
+        # reference's inverted file skips connected KFs, :93-96).
+        score_f = score.copy()
+        n_f = n_shared.copy()
+        for c in set(connected) | {kf}:
+            if 0 <= c < len(score_f):
+                score_f[c] = -1.0
+                n_f[c] = 0
+        cands = self.db.detect_loop_candidates_from(
+            score_f, n_f, float(min_score), self.map
         )
         if not cands:
             self.consistent_groups = []
@@ -212,9 +259,9 @@ class LoopClosing:
         mp2 = self.map.kf_mp[kf2]
         ok1 = (mp1 >= 0) & self.map.kf_kp_valid[kf1]
         ok2 = (mp2 >= 0) & self.map.kf_kp_valid[kf2]
-        node_gate = jnp.asarray(
-            self.kf_node[kf1][:, None] == self.kf_node[kf2][None, :]
-        )
+        n1 = self.kf_node_dev[kf1]
+        n2 = self.kf_node_dev[kf2]
+        node_gate = n1[:, None] == n2[None, :]
         m = match.match(
             jnp.asarray(self.map.kf_desc[kf1]),
             jnp.asarray(self.map.kf_desc[kf2]),

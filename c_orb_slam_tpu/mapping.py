@@ -27,7 +27,7 @@ from c_orb_slam_tpu.geometry import camera, se3, triangulate
 from c_orb_slam_tpu.ops import match
 from c_orb_slam_tpu.optim import ba
 from c_orb_slam_tpu.slam_map.mapstate import MapState
-from c_orb_slam_tpu.utils.host import fetch
+from c_orb_slam_tpu.utils.host import fetch, prefetch
 
 import os
 
@@ -231,7 +231,14 @@ class LocalMapping:
     def step(self, max_stages: int = 1):
         """Run up to `max_stages` mapping stages. Called once per tracked
         frame: mapping proceeds at keyframe rate while tracking continues —
-        the host-loop equivalent of the reference's mapping thread."""
+        the host-loop equivalent of the reference's mapping thread.
+
+        Under backlog (more keyframes queued behind the one in flight) the
+        budget raises itself so pipeline latency doesn't compound — the
+        reference's mapper similarly catches up by skipping its idle sleep
+        (LocalMapping.cc:105)."""
+        if self.queue:
+            max_stages += 2
         for _ in range(max_stages):
             if not self._stages:
                 if not self.queue:
@@ -377,6 +384,7 @@ class LocalMapping:
             self.K,
             jnp.asarray(self.sigma2),
         )
+        prefetch(result)  # readback completes during the next tracked frame
         self._pending_tri = (k1, ks, k2s, pair_valid, result)
 
     def _triangulate_apply(self):
@@ -385,25 +393,39 @@ class LocalMapping:
         k1, ks, k2s, pair_valid, result = self._pending_tri
         self._pending_tri = None
         mp = self.map
-        src1, idx2, good, xw = fetch(*result)
-        n_new = 0
-        for pi in range(len(ks)):
-            if not pair_valid[pi]:
-                continue
-            k2 = ks[pi]
-            for j in np.nonzero(good[pi])[0]:
-                i = int(src1[pi, j])
-                # A feature may match in several pairs — first winner takes
-                # it (the reference's sequential loop has the same effect).
-                if mp.kf_mp[k1, i] >= 0 or mp.kf_mp[k2, idx2[pi, j]] >= 0:
-                    continue
-                p = mp.add_point(xw[pi, j], mp.kf_desc[k1][i], k1)
-                mp.add_observation(p, k1, i)
-                mp.add_observation(p, k2, int(idx2[pi, j]))
-                mp.update_point_descriptor_and_normal(p)
-                self.recent_points.append((p, k1))
-                n_new += 1
+        src1, idx2, good, xw = fetch(*result)  # (P,K) (P,K) (P,K) (P,K,3)
+        # Vectorized insertion (the reference creates MapPoints one at a
+        # time in the neighbor loop, LocalMapping.cc:286-449; a Python loop
+        # here cost ~300 ms/keyframe at map scale).
+        P, Kc = good.shape
+        k2_arr = np.asarray(ks, np.int64)
+        ok = good & pair_valid[:, None]
+        # Conflict gates against current map state.
+        ok &= mp.kf_mp[k1, src1] < 0
+        ok &= mp.kf_mp[k2_arr[:, None], idx2] < 0
+        pi_f, j_f = np.nonzero(ok)
+        i_f = src1[pi_f, j_f]
+        # First winner per k1-feature across pairs (pair order = covisibility
+        # order, matching the reference's sequential neighbor loop).
+        _, first = np.unique(i_f, return_index=True)
+        first = np.sort(first)
+        pi_f, j_f, i_f = pi_f[first], j_f[first], i_f[first]
+        k2_f = k2_arr[pi_f]
+        n_new = len(i_f)
         if n_new:
+            new_idx = mp.add_points_batch(
+                xw[pi_f, j_f], mp.kf_desc[k1][i_f], k1
+            )
+            j2 = idx2[pi_f, j_f]
+            mp.pt_obs_kf[new_idx, 0] = k1
+            mp.pt_obs_feat[new_idx, 0] = i_f
+            mp.pt_obs_kf[new_idx, 1] = k2_f
+            mp.pt_obs_feat[new_idx, 1] = j2
+            mp.pt_n_obs[new_idx] = 2
+            mp.kf_mp[k1, i_f] = new_idx
+            mp.kf_mp[k2_f, j2] = new_idx
+            mp.update_points_batch(new_idx)
+            self.recent_points.extend((int(p), k1) for p in new_idx)
             mp.update_connections(k1)
             for k2 in set(k2s):
                 mp.update_connections(k2)
@@ -462,9 +484,17 @@ class LocalMapping:
             pts_per_pair.append(pts)
         if not live_pairs:
             return
-        # Pad the pair axis to a power-of-two bucket: few distinct compiles.
-        P = max(8, 1 << (len(live_pairs) - 1).bit_length())
-        n_real = len(live_pairs)
+        # FIXED pair capacity: one compile for the whole run. A growing
+        # power-of-two bucket recompiled _fuse_pairs_batch mid-run (3.8s
+        # stalls observed at bucket transitions on the real chip). Pairs
+        # beyond the cap are dropped (ring neighbors are sorted by
+        # covisibility order, so the strongest pairs survive).
+        P = self.cfg.capacity.fuse_max_pairs
+        n_real = min(len(live_pairs), P)
+        if len(live_pairs) > P:
+            _dbg(f"fuse: dropping {len(live_pairs) - P} pairs beyond cap {P}")
+            live_pairs = live_pairs[:P]
+            pts_per_pair = pts_per_pair[:P]
         while len(live_pairs) < P:
             live_pairs.append(live_pairs[-1])
             pts_per_pair.append(np.full(cap, -1, np.int64))
@@ -488,6 +518,7 @@ class LocalMapping:
             self.K,
             jnp.asarray(self.sf),
         )
+        prefetch(result)  # readback completes during the next tracked frame
         self._pending_fuse = (kf, live_pairs, pts_arr, n_real, result)
 
     def _fuse_apply(self):
@@ -502,22 +533,33 @@ class LocalMapping:
             pts = pts_arr[pi]
             rows = src_rows[pi]
             ok = m_valid[pi] & (pts[rows] >= 0)
-            idx = m_idx[pi]
-            for j in np.nonzero(ok)[0]:
-                p = int(pts[rows[j]])
-                if not mp.pt_valid[p]:
-                    continue  # merged away by an earlier pair
-                feat = int(idx[j])
-                existing = int(mp.kf_mp[dst, feat])
-                if existing >= 0 and mp.pt_valid[existing]:
-                    if existing != p:
-                        # Keep the point with more observations.
-                        if mp.pt_n_obs[existing] >= mp.pt_n_obs[p]:
-                            mp.replace_point(p, existing)
-                        else:
-                            mp.replace_point(existing, p)
+            sel = np.nonzero(ok)[0]
+            if len(sel) == 0:
+                continue
+            p_sel = pts[rows[sel]]
+            f_sel = m_idx[pi][sel].astype(np.int64)
+            alive = mp.pt_valid[p_sel]  # not merged away by earlier pair
+            p_sel, f_sel = p_sel[alive], f_sel[alive]
+            existing = mp.kf_mp[dst, f_sel]
+            ex_live = (existing >= 0) & mp.pt_valid[np.maximum(existing, 0)]
+            # Plain additions (no conflicting point at the feature):
+            # vectorized append. Dedupe points within the batch (a point may
+            # project onto two features; keep the first, like the
+            # sequential reference loop ORBmatcher.cc:952-971).
+            add_p, add_f = p_sel[~ex_live], f_sel[~ex_live]
+            _, first = np.unique(add_p, return_index=True)
+            first = np.sort(first)
+            mp.add_observations_batch(add_p[first], dst, add_f[first])
+            # Conflicts: merge keeping the better-observed point (rare —
+            # host loop over the handful of collisions only).
+            for p, ex in zip(p_sel[ex_live], existing[ex_live]):
+                p, ex = int(p), int(ex)
+                if p == ex or not mp.pt_valid[p] or not mp.pt_valid[ex]:
+                    continue
+                if mp.pt_n_obs[ex] >= mp.pt_n_obs[p]:
+                    mp.replace_point(p, ex)
                 else:
-                    mp.add_observation(p, dst, feat)
+                    mp.replace_point(ex, p)
         mp.update_connections(kf)
 
     # ------------------------------------------------------------------
@@ -645,6 +687,7 @@ class LocalMapping:
             pcg_iters=self.cfg.optimizer.pcg_iters,
             schur="dense",  # local window: direct MXU Schur solve
         )
+        prefetch(result.cam_T, result.points, result.obs_inlier)
         self._pending_ba = (
             cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
             result,
@@ -693,25 +736,27 @@ class LocalMapping:
                 continue
             col = mp.kf_mp[k]
             feats = np.nonzero(col >= 0)[0]
-            redundant = 0
-            total = 0
-            for feat in feats:
-                p = col[feat]
-                if not mp.pt_valid[p]:
-                    continue
-                total += 1
-                scale_k = mp.kf_octave[k, feat]
-                n = mp.pt_n_obs[p]
-                n_finer = 0
-                for ok, of in zip(mp.pt_obs_kf[p, :n], mp.pt_obs_feat[p, :n]):
-                    if ok < 0 or ok == k:
-                        continue
-                    if mp.kf_octave[ok, of] <= scale_k + 1:
-                        n_finer += 1
-                        if n_finer >= self.cfg.mapping.kf_cull_min_obs:
-                            break
-                if n_finer >= self.cfg.mapping.kf_cull_min_obs:
-                    redundant += 1
+            p = col[feats]
+            alive = mp.pt_valid[p]
+            p, feats = p[alive], feats[alive]
+            total = len(p)
+            if total:
+                scale_k = mp.kf_octave[k, feats]  # (T,)
+                obs_kf = mp.pt_obs_kf[p]  # (T, Mo)
+                obs_oct = mp.kf_octave[
+                    np.maximum(obs_kf, 0), np.maximum(mp.pt_obs_feat[p], 0)
+                ]
+                seen = (
+                    (obs_kf >= 0)
+                    & (obs_kf != k)
+                    & (obs_oct <= scale_k[:, None] + 1)
+                )
+                n_finer = seen.sum(axis=1)
+                redundant = int(
+                    (n_finer >= self.cfg.mapping.kf_cull_min_obs).sum()
+                )
+            else:
+                redundant = 0
             if total > 0 and redundant > self.cfg.mapping.kf_cull_redundancy * total:
                 self._erase_keyframe(k)
                 culled += 1
@@ -735,8 +780,29 @@ class LocalMapping:
         mp.kf_valid[k] = False
         mp.covis[k, :] = 0
         mp.covis[:, k] = 0
-        # Re-parent children in the spanning tree (simplified: point at
-        # this kf's own parent; reference does max-covisibility reparenting,
-        # KeyFrame.cc:480-535).
-        parent = mp.spanning_parent[k]
-        mp.spanning_parent[mp.spanning_parent == k] = parent
+        # Spanning-tree re-parenting by max covisibility (reference:
+        # KeyFrame.cc:480-535): children adopt, one at a time, the
+        # candidate parent (initially the culled KF's parent, then any
+        # already re-parented sibling) with the strongest covisibility
+        # edge — keeping the tree aligned with the covisibility structure
+        # for the trajectory-recovery walk.
+        parent = int(mp.spanning_parent[k])
+        children = set(np.nonzero(mp.spanning_parent == k)[0].tolist())
+        candidates = {parent} if parent >= 0 else set()
+        while children and candidates:
+            cand_list = sorted(candidates)
+            best_w, best_c, best_p = 0, -1, -1
+            for c in children:
+                w = mp.covis[c, cand_list]
+                j = int(np.argmax(w))
+                if w[j] > best_w:
+                    best_w, best_c, best_p = int(w[j]), c, cand_list[j]
+            if best_c < 0:
+                break
+            mp.spanning_parent[best_c] = best_p
+            children.remove(best_c)
+            candidates.add(best_c)
+        # Orphans with no covisibility to any candidate fall back to the
+        # culled KF's own parent (reference: KeyFrame.cc:527-531).
+        for c in children:
+            mp.spanning_parent[c] = parent

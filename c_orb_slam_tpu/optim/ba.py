@@ -405,6 +405,13 @@ def classify_inliers(
     return p.obs_valid & (c2 <= chi2_th) & (z > 0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters_first", "iters_second", "chi2_mono", "chi2_stereo",
+        "pcg_iters", "schur",
+    ),
+)
 def bundle_adjust(
     p: BAProblem,
     iters_first: int = 5,
@@ -415,7 +422,10 @@ def bundle_adjust(
     schur: str = "pcg",
 ) -> BAResult:
     """Two-stage BA with outlier re-classification between stages
-    (reference: Optimizer.cc:659-709 LocalBundleAdjustment flow)."""
+    (reference: Optimizer.cc:659-709 LocalBundleAdjustment flow).
+
+    Jitted end-to-end: the eager inter-stage glue cost ~40 ms of host
+    op-by-op dispatch over the tunneled runtime."""
     cam_T, points = optimize(
         p, iters=iters_first, use_huber=True,
         chi2_mono=chi2_mono, chi2_stereo=chi2_stereo, pcg_iters=pcg_iters,

@@ -26,7 +26,6 @@ import numpy as np
 
 from c_orb_slam_tpu.config import SlamConfig
 
-_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
 
 
 @dataclass
@@ -138,30 +137,34 @@ class MapState:
         return k
 
     def add_point(self, xyz, desc, ref_kf) -> int:
-        # Linear free-slot scan from a moving cursor (slots freed by
-        # culling are reused).
-        Np = self.pt_xyz.shape[0]
-        start = self.next_free_pt
-        for off in range(Np):
-            i = (start + off) % Np
-            if not self.pt_valid[i]:
-                break
-        else:
+        return int(self.add_points_batch(
+            np.asarray(xyz, np.float32)[None],
+            np.asarray(desc)[None], ref_kf,
+        )[0])
+
+    def add_points_batch(self, xyz, desc, ref_kf) -> np.ndarray:
+        """Insert M points at once (one vectorized free-slot scan instead
+        of the reference's per-point `new MapPoint`). Returns (M,) indices."""
+        M = xyz.shape[0]
+        if M == 0:
+            return np.zeros(0, np.int64)
+        free = np.nonzero(~self.pt_valid)[0]
+        if len(free) < M:
             raise RuntimeError("map point capacity exceeded")
-        self.next_free_pt = (i + 1) % Np
-        self.pt_xyz[i] = xyz
-        self.pt_desc[i] = desc
-        self.pt_valid[i] = True
-        self.pt_ref_kf[i] = ref_kf
-        self.pt_first_kf[i] = ref_kf
-        self.pt_visible[i] = 1
-        self.pt_found[i] = 1
-        self.pt_replaced_by[i] = -1
-        self.pt_obs_kf[i] = -1
-        self.pt_obs_feat[i] = -1
-        self.pt_n_obs[i] = 0
-        self.n_points = max(self.n_points, i + 1)
-        return i
+        idx = free[:M]
+        self.pt_xyz[idx] = xyz
+        self.pt_desc[idx] = desc
+        self.pt_valid[idx] = True
+        self.pt_ref_kf[idx] = ref_kf
+        self.pt_first_kf[idx] = ref_kf
+        self.pt_visible[idx] = 1
+        self.pt_found[idx] = 1
+        self.pt_replaced_by[idx] = -1
+        self.pt_obs_kf[idx] = -1
+        self.pt_obs_feat[idx] = -1
+        self.pt_n_obs[idx] = 0
+        self.n_points = max(self.n_points, int(idx.max()) + 1)
+        return idx.astype(np.int64)
 
     def add_observation(self, pt: int, kf: int, feat: int):
         n = self.pt_n_obs[pt]
@@ -174,6 +177,23 @@ class MapState:
         self.pt_obs_feat[pt, n] = feat
         self.pt_n_obs[pt] = n + 1
         self.kf_mp[kf, feat] = pt
+
+    def add_observations_batch(self, pts: np.ndarray, kf: int, feats: np.ndarray):
+        """Append observation (kf, feats[i]) to each point in pts (distinct
+        points; duplicates of the same point must be pre-deduped). Vectorized
+        equivalent of per-point AddObservation (MapPoint.cc:98)."""
+        pts = np.asarray(pts)
+        if len(pts) == 0:
+            return
+        feats = np.asarray(feats)
+        n = self.pt_n_obs[pts]
+        already = (self.pt_obs_kf[pts] == kf).any(axis=1)
+        ok = ~already & (n < self.pt_obs_kf.shape[1])
+        p, nn, ft = pts[ok], n[ok], feats[ok]
+        self.pt_obs_kf[p, nn] = kf
+        self.pt_obs_feat[p, nn] = ft
+        self.pt_n_obs[p] = nn + 1
+        self.kf_mp[kf, ft] = p
 
     def erase_observation(self, pt: int, kf: int):
         n = self.pt_n_obs[pt]
@@ -252,11 +272,12 @@ class MapState:
         KeyFrame::UpdateConnections, KeyFrame.cc:289-379)."""
         mp = self.kf_mp[kf]
         pts = mp[mp >= 0]
-        counts = np.zeros(self.kf_pose.shape[0], np.int32)
-        for p in pts:
-            n = self.pt_n_obs[p]
-            obs = self.pt_obs_kf[p, :n]
-            counts[obs[obs >= 0]] += 1
+        Nk = self.kf_pose.shape[0]
+        if len(pts):
+            obs = self.pt_obs_kf[pts]  # (P, Mo)
+            counts = np.bincount(obs[obs >= 0], minlength=Nk).astype(np.int32)
+        else:
+            counts = np.zeros(Nk, np.int32)
         counts[kf] = 0
         self.covis[kf, :] = counts
         self.covis[:, kf] = counts
@@ -290,45 +311,66 @@ class MapState:
     # --- point attribute maintenance ----------------------------------------
 
     def update_point_descriptor_and_normal(self, pt: int):
+        self.update_points_batch(np.asarray([pt], np.int64))
+
+    def update_points_batch(self, pts: np.ndarray):
         """Representative descriptor (min median Hamming) + viewing normal +
-        scale range (reference: MapPoint.cc:242-307, 330-371)."""
-        n = self.pt_n_obs[pt]
-        if n == 0:
+        scale range, for M points at once (reference: MapPoint.cc:242-307,
+        330-371 — there per point under a mutex; here one vectorized pass)."""
+        pts = np.asarray(pts)
+        if len(pts) == 0:
             return
-        kfs = self.pt_obs_kf[pt, :n]
-        feats = self.pt_obs_feat[pt, :n]
-        descs = self.kf_desc[kfs, feats]  # (n, 8)
-        if n >= 2:
-            x = (descs[:, None, :] ^ descs[None, :, :]).view(np.uint8)
-            d = _POPCNT8[x].sum(axis=-1, dtype=np.int32)
-            med = np.median(d, axis=1)
-            self.pt_desc[pt] = descs[int(np.argmin(med))]
-        else:
-            self.pt_desc[pt] = descs[0]
+        n = self.pt_n_obs[pts]
+        live = n > 0
+        pts, n = pts[live], n[live]
+        M = len(pts)
+        if M == 0:
+            return
+        Mo = self.pt_obs_kf.shape[1]
+        kfs = self.pt_obs_kf[pts]  # (M, Mo)
+        feats = self.pt_obs_feat[pts]
+        mask = np.arange(Mo)[None, :] < n[:, None]
+        sk = np.maximum(kfs, 0)
+        sf_ = np.maximum(feats, 0)
+        descs = self.kf_desc[sk, sf_]  # (M, Mo, 8) uint32
 
-        xyz = self.pt_xyz[pt]
-        centers = np.stack(
-            [-self.kf_pose[k, :, :3].T @ self.kf_pose[k, :, 3] for k in kfs]
-        )
-        rays = xyz[None] - centers
-        norms = np.linalg.norm(rays, axis=1, keepdims=True)
-        rays = rays / np.maximum(norms, 1e-12)
-        normal = rays.mean(axis=0)
-        self.pt_normal[pt] = normal / max(np.linalg.norm(normal), 1e-12)
+        # Min-median-Hamming representative descriptor (np.bitwise_count is
+        # a ufunc — the LUT gather cost 130 ms/keyframe at map scale).
+        x = descs[:, :, None, :] ^ descs[:, None, :, :]
+        d = np.bitwise_count(x).sum(axis=-1, dtype=np.int32)  # (M, Mo, Mo)
+        big = np.int32(1 << 20)
+        d = np.where(mask[:, None, :], d, big)  # invalid cols -> +inf
+        ds = np.sort(d, axis=2)
+        mid = np.broadcast_to(((n - 1) // 2)[:, None, None], (M, Mo, 1))
+        med = np.take_along_axis(ds, mid, axis=2)[..., 0]  # (M, Mo)
+        med = np.where(mask, med, big)  # invalid rows can't win
+        best = np.argmin(med, axis=1)
+        self.pt_desc[pts] = descs[np.arange(M), best]
 
-        ref = self.pt_ref_kf[pt]
-        pos_in_list = np.nonzero(kfs == ref)[0]
-        k_ref = int(kfs[pos_in_list[0]]) if len(pos_in_list) else int(kfs[0])
-        f_ref = (
-            int(feats[pos_in_list[0]]) if len(pos_in_list) else int(feats[0])
+        # Viewing normal: mean unit ray from observing camera centers.
+        R = self.kf_pose[:, :, :3]
+        t = self.kf_pose[:, :, 3]
+        centers_all = -np.einsum("kji,kj->ki", R, t)  # (Nk, 3)
+        xyz = self.pt_xyz[pts]  # (M, 3)
+        rays = xyz[:, None, :] - centers_all[sk]  # (M, Mo, 3)
+        rays /= np.maximum(np.linalg.norm(rays, axis=2, keepdims=True), 1e-12)
+        rays = np.where(mask[:, :, None], rays, 0.0)
+        normal = rays.sum(axis=1) / n[:, None]
+        self.pt_normal[pts] = normal / np.maximum(
+            np.linalg.norm(normal, axis=1, keepdims=True), 1e-12
         )
-        cam_center = -self.kf_pose[k_ref, :, :3].T @ self.kf_pose[k_ref, :, 3]
-        dist = float(np.linalg.norm(xyz - cam_center))
-        level = int(self.kf_octave[k_ref, f_ref])
+
+        # Scale-invariance range from the reference keyframe's octave.
+        is_ref = (kfs == self.pt_ref_kf[pts][:, None]) & mask
+        sel = np.where(is_ref.any(axis=1), np.argmax(is_ref, axis=1), 0)
+        k_ref = kfs[np.arange(M), sel]
+        f_ref = feats[np.arange(M), sel]
+        dist = np.linalg.norm(xyz - centers_all[k_ref], axis=1)
+        level = self.kf_octave[k_ref, f_ref]
         sf = self.cfg.orb.scale_factor
         n_lv = self.cfg.orb.n_levels
-        self.pt_max_dist[pt] = dist * (sf**level)
-        self.pt_min_dist[pt] = self.pt_max_dist[pt] / (sf ** (n_lv - 1))
+        self.pt_max_dist[pts] = dist * sf ** level.astype(np.float32)
+        self.pt_min_dist[pts] = self.pt_max_dist[pts] / (sf ** (n_lv - 1))
 
     # --- queries -------------------------------------------------------------
 

@@ -27,6 +27,7 @@ from c_orb_slam_tpu.loop_closing import LoopClosing
 from c_orb_slam_tpu.mapping import LocalMapping
 from c_orb_slam_tpu.slam_map.mapstate import MapState
 from c_orb_slam_tpu.tracking import Tracking, TrackState
+from c_orb_slam_tpu.utils.host import prefetch
 
 
 def _to_gray_f32(image) -> jnp.ndarray:
@@ -43,13 +44,22 @@ class System:
         self.cfg = cfg
         self._enable_loop_closing = enable_loop_closing
         vocabulary = None
-        if cfg.vocabulary.path:
+        path = cfg.vocabulary.path
+        if path is None:
+            # Default: the shipped pretrained artifact (the analog of the
+            # reference's ORBvoc.txt load, System.cc:64). Set
+            # vocabulary.path="online" to force training from the run's
+            # first keyframes instead.
+            from c_orb_slam_tpu.bow.vocab import builtin_vocabulary_path
+
+            path = builtin_vocabulary_path()
+        if path and path != "online":
             from c_orb_slam_tpu.bow import vocab as vocab_mod
 
-            if cfg.vocabulary.path.endswith(".txt"):
-                vocabulary = vocab_mod.load_dbow2_text(cfg.vocabulary.path)
+            if path.endswith(".txt"):
+                vocabulary = vocab_mod.load_dbow2_text(path)
             else:
-                vocabulary = vocab_mod.load(cfg.vocabulary.path)
+                vocabulary = vocab_mod.load(path)
         self._build_pipeline(MapState(cfg), vocabulary)
         self.localization_only = False
         self.timestamps: list[float] = []
@@ -79,12 +89,18 @@ class System:
             self.tracker.reloc_provider = self.loop_closing
         self.tracker.mapper = self.local_mapping
         self.local_mapping.on_keyframe_done = self._on_mapping_done
+        # The tracker calls this between dispatching its fused step and
+        # fetching the results: the mapping stage runs inside the tracking
+        # readback's ~23 ms d2h latency window (see utils/host.prefetch).
+        self.tracker.overlap_hook = self._overlap_mapping
+        self._mapping_ran_this_frame = False
 
     # ------------------------------------------------------------------
     def track_monocular(self, image, timestamp: float) -> Optional[np.ndarray]:
         assert self.cfg.sensor == Sensor.MONOCULAR
         with self.metrics.stage("frame_build"):
             f = frame_mod.build_mono(_to_gray_f32(image), self.cfg)
+            prefetch(f)  # host copies land before any later fetch(*f)
         return self._track(f, timestamp)
 
     def track_stereo(self, left, right, timestamp: float) -> Optional[np.ndarray]:
@@ -93,6 +109,7 @@ class System:
             f = frame_mod.build_stereo(
                 _to_gray_f32(left), _to_gray_f32(right), self.cfg
             )
+            prefetch(f)
         return self._track(f, timestamp)
 
     def track_rgbd(self, image, depth, timestamp: float) -> Optional[np.ndarray]:
@@ -101,14 +118,37 @@ class System:
             f = frame_mod.build_rgbd(
                 _to_gray_f32(image), jnp.asarray(depth, jnp.float32), self.cfg
             )
+            prefetch(f)
         return self._track(f, timestamp)
+
+    def _overlap_mapping(self):
+        """Run the per-frame mapping stage inside the tracking readback's
+        d2h latency window (called by the tracker between dispatch and
+        fetch). The reference overlaps the same work via its LocalMapping
+        thread (LocalMapping.cc:47)."""
+        if self.localization_only or self._mapping_ran_this_frame:
+            return
+        self._mapping_ran_this_frame = True
+        with self.metrics.stage("mapping_stage"):
+            self.local_mapping.step()
+        if self.loop_closing is not None:
+            with self.metrics.stage("loop_stage"):
+                self.loop_closing.step()
 
     def _track(self, f, timestamp: float) -> Optional[np.ndarray]:
         t0 = time.perf_counter()
         self.timestamps.append(timestamp)
+        self._mapping_ran_this_frame = False
         n_kf_before = self.map.n_keyframes
         with self.metrics.stage("tracking"):
             pose = self.tracker.track(f)
+        if self.tracker.request_reset:
+            # Lost with <=5 keyframes: restart from scratch (reference:
+            # Tracking.cc:472-479 "Track lost soon after initialisation,
+            # reseting...").
+            self.metrics.count("auto_resets")
+            self.reset()
+            return None
         made_kf = self.map.n_keyframes > n_kf_before
         if not self.localization_only:
             if made_kf:
@@ -126,9 +166,13 @@ class System:
                         self.loop_closing.process_keyframe(k)
             # One mapping stage per tracked frame: the host-loop analog of
             # the reference's concurrent LocalMapping thread (tracking
-            # proceeds against a map that lags by a few frames).
-            with self.metrics.stage("mapping_stage"):
-                self.local_mapping.step()
+            # proceeds against a map that lags by a few frames). Usually
+            # already run inside the tracking readback window (see
+            # _overlap_mapping); this is the fallback for frames that took
+            # a non-fused tracking path.
+            if not self._mapping_ran_this_frame:
+                with self.metrics.stage("mapping_stage"):
+                    self.local_mapping.step()
         self.metrics.end_frame(
             frame_id=self.tracker.frame_id,
             timestamp=timestamp,
@@ -183,9 +227,11 @@ class System:
         self.metrics.reset()
 
     def shutdown(self):
-        """Drain the mapping pipeline (the reference joins its threads,
-        System.cc:301-320)."""
+        """Drain the mapping + loop pipelines (the reference joins its
+        threads, System.cc:301-320)."""
         self.local_mapping.drain()
+        if self.loop_closing is not None:
+            self.loop_closing.drain()
 
     def map_changed(self) -> bool:
         """Reference: System::MapChanged (System.cc:282-293)."""
@@ -235,6 +281,8 @@ class System:
         from c_orb_slam_tpu.io import checkpoint
 
         self.local_mapping.drain()
+        if self.loop_closing is not None:
+            self.loop_closing.drain()
         voc = self.loop_closing.voc if self.loop_closing else None
         checkpoint.save_map(path, self.map, voc)
 

@@ -27,7 +27,7 @@ from c_orb_slam_tpu.geometry import camera, np_se3, se3
 from c_orb_slam_tpu.ops import hamming, match, pnp, twoview
 from c_orb_slam_tpu.optim import pose_opt
 from c_orb_slam_tpu.slam_map.mapstate import MapState
-from c_orb_slam_tpu.utils.host import fetch
+from c_orb_slam_tpu.utils.host import fetch, prefetch
 
 import os
 
@@ -163,7 +163,9 @@ def _ref_kf_step(
     return m.idx, m.valid, result.pose, result.inliers, result.n_inliers
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "radius_override", "nn_ratio_override")
+)
 def _local_map_step(
     cfg: SlamConfig,
     T0: jnp.ndarray,
@@ -180,6 +182,8 @@ def _local_map_step(
     K: jnp.ndarray,
     inv_sigma2_levels: jnp.ndarray,
     sf: jnp.ndarray,
+    radius_override: Optional[float] = None,
+    nn_ratio_override: Optional[float] = None,
 ):
     """Fused local-map tracking: frustum cull, projection search over the
     covisibility-local point set, pose GN over seed+new matches — one
@@ -197,7 +201,10 @@ def _local_map_step(
         log_scale=float(np.log(cfg.orb.scale_factor)),
         n_levels=cfg.orb.n_levels,
     )
-    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    if radius_override is None:
+        r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    else:
+        r = jnp.full_like(view_cos, radius_override)
     radii = r * sf[octave]
     lo = jnp.maximum(octave - 2, 0)
     hi = jnp.minimum(octave + 1, cfg.orb.n_levels - 1)
@@ -206,7 +213,11 @@ def _local_map_step(
         uv, radii, pt_desc, in_view & pt_fresh,
         f.xy, f.octave, f.desc, free_t, lo, hi,
         max_dist=cfg.matcher.th_high,
-        nn_ratio=cfg.matcher.nn_ratio_mapping + 0.2,
+        nn_ratio=(
+            cfg.matcher.nn_ratio_mapping + 0.2
+            if nn_ratio_override is None
+            else nn_ratio_override
+        ),
     )
     # Per-feature assignment: scatter query index to its matched feature
     # (unique_targets guarantees injectivity; invalid rows land out of
@@ -380,6 +391,8 @@ class Tracking:
         self.last_frame: Optional[frame_mod.FrameData] = None
         self.last_mp: Optional[np.ndarray] = None  # (N,) point idx / -1
         self.ref_kf: int = -1
+        self.request_reset = False  # set on early loss; System consumes
+        self._vo_mode = False  # localization-only: tracking on VO points
         self.frames_since_kf = 0
         self.frame_id = -1
         self.last_kf_frame_id = -1
@@ -425,6 +438,14 @@ class Tracking:
                 fused_done = ok
             if not ok:
                 ok, pose, cur_mp = self._track_reference_kf(f)
+        if ok and self.only_tracking and self._vo_mode:
+            # VO mode: tracking holds on temporal points; keep trying to
+            # relocalize into the map (reference: Tracking.cc:296-330).
+            ok_r, pose_r, mp_r = self._relocalize(f)
+            if ok_r:
+                pose, cur_mp = pose_r, mp_r
+                self._vo_mode = False
+                self.last_reloc_frame_id = self.frame_id
         if self.state == TrackState.LOST or not ok:
             ok, pose, cur_mp = self._relocalize(f)
             if ok:
@@ -453,6 +474,11 @@ class Tracking:
         else:
             self.state = TrackState.LOST
             self.velocity = None
+            # Lost soon after initialization: the map is too thin to ever
+            # relocalize against — request a full system reset (reference:
+            # Tracking.cc:472-479; System consumes the flag).
+            if len(self.map.live_keyframes()) <= 5 and not self.only_tracking:
+                self.request_reset = True
 
         self.last_frame = f
         self.last_mp = cur_mp
@@ -559,12 +585,17 @@ class Tracking:
             f1h.xy, f1h.octave, f1h.angle, f1h.desc, f1h.valid,
         )
         cur_mp = np.full(f1h.xy.shape[0], -1, np.int64)
-        for i in np.nonzero(good)[0]:
-            p = mp.add_point(pts[i], f0h.desc[i], k0)
-            mp.add_observation(p, k0, int(i))
-            mp.add_observation(p, k1, int(idx1[i]))
-            mp.update_point_descriptor_and_normal(p)
-            cur_mp[idx1[i]] = p
+        gi = np.nonzero(good)[0]
+        new_idx = mp.add_points_batch(pts[gi], f0h.desc[gi], k0)
+        mp.pt_obs_kf[new_idx, 0] = k0
+        mp.pt_obs_feat[new_idx, 0] = gi
+        mp.pt_obs_kf[new_idx, 1] = k1
+        mp.pt_obs_feat[new_idx, 1] = idx1[gi]
+        mp.pt_n_obs[new_idx] = 2
+        mp.kf_mp[k0, gi] = new_idx
+        mp.kf_mp[k1, idx1[gi]] = new_idx
+        mp.update_points_batch(new_idx)
+        cur_mp[idx1[gi]] = new_idx
         mp.update_connections(k0)
         mp.update_connections(k1)
         self.ref_kf = k1
@@ -636,9 +667,12 @@ class Tracking:
     def _stereo_initialization(self, f: frame_mod.FrameData):
         """Bootstrap from depth (reference: Tracking.cc:509-561)."""
         fh = frame_mod.FrameData(*fetch(*f))
-        n_depth = int(((fh.depth > 0) & fh.valid).sum())
-        if n_depth < self.cfg.tracking.min_stereo_init_points:
+        # Gate on total keypoints like the reference (Tracking.cc:511
+        # checks mCurrentFrame.N>500, NOT the depth-point count).
+        if int(fh.valid.sum()) < self.cfg.tracking.min_stereo_init_points:
             return
+        if int(((fh.depth > 0) & fh.valid).sum()) < 50:
+            return  # degenerate: almost no stereo depth to seed the map
         mp = self.map
         pose = np.eye(3, 4, dtype=np.float32)
         k0 = mp.add_keyframe(
@@ -657,11 +691,10 @@ class Tracking:
         ).astype(np.float32)
         cur_mp = np.full(fh.xy.shape[0], -1, np.int64)
         sel = np.nonzero(fh.valid & (fh.depth > 0))[0]
-        for i in sel:
-            p = mp.add_point(xyz[i], fh.desc[i], k0)
-            mp.add_observation(p, k0, int(i))
-            mp.update_point_descriptor_and_normal(p)
-            cur_mp[i] = p
+        new_idx = mp.add_points_batch(xyz[sel], fh.desc[sel], k0)
+        mp.add_observations_batch(new_idx, k0, sel)
+        mp.update_points_batch(new_idx)
+        cur_mp[sel] = new_idx
         mp.update_connections(k0)
         self.ref_kf = k0
         self.last_kf_frame_id = self.frame_id
@@ -730,43 +763,105 @@ class Tracking:
         T_pred = T_pred[:3].astype(np.float32)
         idx = np.maximum(self.last_mp, 0)
 
+        # Visual-odometry temporal points (reference: UpdateLastFrame,
+        # Tracking.cc:801-865): in localization mode, stereo/RGB-D
+        # augments the motion-model query set with the last frame's close
+        # depth points that have no map association, so tracking survives
+        # outside the mapped region. These rows carry last_mp = -1, so
+        # they never create map associations — they only constrain pose.
+        q_xyz = self.map.pt_xyz[idx]
+        q_desc = self.map.pt_desc[idx]
+        q_valid = last_has
+        if (
+            self.only_tracking
+            and self.cfg.sensor != Sensor.MONOCULAR
+            and self.last_pose is not None
+        ):
+            depth = np.asarray(self.last_frame.depth)
+            lf_valid = np.asarray(self.last_frame.valid)
+            close = (
+                (depth > 0)
+                & (depth < self.cfg.tracking.th_depth * self.cfg.camera.baseline)
+            )
+            vo = close & ~last_has & lf_valid
+            if vo.any():
+                xyl = np.asarray(self.last_frame.xy)
+                Kc = np.asarray(self.K)
+                xc = np.stack(
+                    [
+                        (xyl[:, 0] - Kc[2]) * depth / Kc[0],
+                        (xyl[:, 1] - Kc[3]) * depth / Kc[1],
+                        depth,
+                    ],
+                    axis=1,
+                )
+                Tinv = np_se3.inverse(self.last_pose)
+                xw = (xc @ Tinv[:, :3].T + Tinv[:, 3]).astype(np.float32)
+                q_xyz = np.where(vo[:, None], xw, q_xyz)
+                q_desc = np.where(
+                    vo[:, None], np.asarray(self.last_frame.desc), q_desc
+                )
+                q_valid = last_has | vo
+
+        out = _full_track_step(
+            self.cfg,
+            jnp.asarray(T_pred),
+            jnp.asarray(q_xyz),
+            jnp.asarray(q_desc),
+            jnp.asarray(q_valid),
+            self.last_frame.octave,
+            jnp.asarray(self.last_mp.astype(np.int32)),
+            jnp.asarray(self.map.pt_xyz[safe]),
+            jnp.asarray(self.map.pt_normal[safe]),
+            jnp.asarray(self.map.pt_min_dist[safe]),
+            jnp.asarray(self.map.pt_max_dist[safe]),
+            jnp.asarray(self.map.pt_desc[safe]),
+            jnp.asarray(pts_pad >= 0),
+            jnp.asarray(pts_pad.astype(np.int32)),
+            f,
+            self.K,
+            self.inv_sigma2_levels,
+            jnp.asarray(self.sf),
+        )
+        # Start the result copies immediately, then fill the d2h latency
+        # window (~23 ms flat on the tunneled chip) with useful host work:
+        # the mapping pipeline stage for pending keyframes runs HERE, via
+        # the hook System installs — the host-loop analog of the
+        # reference's concurrent mapping thread (LocalMapping.cc:47).
+        prefetch(out)
+        hook = getattr(self, "overlap_hook", None)
+        if hook is not None:
+            hook()
         (
             mm_ok, m1_idx, good_q,
             in_view, m2_idx, m2_valid,
             pose2, inl_feat, n2,
-        ) = fetch(
-            *_full_track_step(
-                self.cfg,
-                jnp.asarray(T_pred),
-                jnp.asarray(self.map.pt_xyz[idx]),
-                jnp.asarray(self.map.pt_desc[idx]),
-                jnp.asarray(last_has),
-                self.last_frame.octave,
-                jnp.asarray(self.last_mp.astype(np.int32)),
-                jnp.asarray(self.map.pt_xyz[safe]),
-                jnp.asarray(self.map.pt_normal[safe]),
-                jnp.asarray(self.map.pt_min_dist[safe]),
-                jnp.asarray(self.map.pt_max_dist[safe]),
-                jnp.asarray(self.map.pt_desc[safe]),
-                jnp.asarray(pts_pad >= 0),
-                jnp.asarray(pts_pad.astype(np.int32)),
-                f,
-                self.K,
-                self.inv_sigma2_levels,
-                jnp.asarray(self.sf),
-            )
-        )
+        ) = fetch(*out)
         if not bool(mm_ok):
             return False, None, None
         self.map.pt_visible[safe[in_view]] += 1
         new_mp = np.full(f.xy.shape[0], -1, np.int64)
         new_mp[m1_idx[good_q]] = self.last_mp[good_q]
         new_mp[m2_idx[m2_valid]] = pts_pad[m2_valid]
+        # The overlap hook ran mapping mutations between this frame's
+        # dispatch and fetch: follow point forwarding and drop tombstones
+        # before recording associations (the in-frame analog of
+        # _check_replaced_last; the reference's per-object locks prevent
+        # this use-after-replace window, MapPoint.cc:177).
+        new_mp = self.map.resolve(new_mp)
+        dead = (new_mp >= 0) & ~self.map.pt_valid[np.maximum(new_mp, 0)]
+        new_mp[dead] = -1
         found = new_mp.copy()
         found[~inl_feat] = -1
         self.map.pt_found[found[found >= 0]] += 1
         new_mp[~inl_feat] = -1
         self.current_inliers = n = int(n2)
+        if self.only_tracking:
+            # mbVO (reference: Tracking.cc:283-361): few MAP-point matches
+            # means we drifted off the mapped region — VO points carry the
+            # pose, and relocalization is attempted every frame until the
+            # map is reacquired.
+            self._vo_mode = int((new_mp >= 0).sum()) < 10
         recent_reloc = self.frame_id - self.last_reloc_frame_id < int(
             self.cfg.camera.fps
         )
@@ -775,6 +870,10 @@ class Tracking:
             if recent_reloc
             else self.cfg.tracking.min_inliers_local_map
         )
+        if self.only_tracking and self._vo_mode:
+            # Accept on pose-opt inliers (VO rows included): the map gate
+            # would spuriously drop to LOST outside the mapped region.
+            return n >= self.cfg.tracking.min_inliers_pose, pose2, new_mp
         return n >= need, pose2, new_mp
 
     def _track_motion_model(self, f: frame_mod.FrameData):
@@ -918,7 +1017,62 @@ class Tracking:
         cur_mp[~pin] = -1
         if n < self.cfg.tracking.min_inliers_pose:
             return False, None, None
+        # Guided-reprojection widening (reference: Tracking.cc:1441-1480):
+        # when the pose is supported by too few inliers, project the
+        # candidate keyframe's map points at the estimated pose and
+        # re-optimize — a coarse 10px round, then a 3px round if close.
+        need = self.cfg.tracking.min_inliers_reloc
+        if n < need:
+            pose, cur_mp, n = self._reloc_widen(f, pose, cur_mp, k, 10.0)
+            if self.cfg.tracking.min_inliers_local_map <= n < need:
+                pose, cur_mp, n = self._reloc_widen(f, pose, cur_mp, k, 3.0)
+        # Final acceptance at >=50 inliers (reference: Tracking.cc:1483).
+        if n < need:
+            return False, None, None
         return True, pose, cur_mp
+
+    def _reloc_widen(self, f, pose, cur_mp, k: int, radius: float):
+        """One guided-reprojection round against keyframe k's map points
+        (reference: ORBmatcher::SearchByProjection reloc variant,
+        ORBmatcher.cc:1472-1599, + pose re-optimization)."""
+        kf_mp = self.map.kf_mp[k]
+        pts = np.unique(kf_mp[kf_mp >= 0])
+        pts = pts[self.map.pt_valid[pts]]
+        cap = self.cfg.capacity.local_map_max_points
+        pts_pad = np.full(cap, -1, np.int64)
+        pts_pad[: min(len(pts), cap)] = pts[:cap]
+        safe = np.maximum(pts_pad, 0)
+        matched = set(cur_mp[cur_mp >= 0].tolist())
+        fresh = np.asarray(
+            [p not in matched if p >= 0 else False for p in pts_pad]
+        )
+        seed_valid = cur_mp >= 0
+        seed_xyz = self.map.pt_xyz[np.maximum(cur_mp, 0)]
+        in_view, m_idx, m_valid, pose2, inl, n = fetch(
+            *_local_map_step(
+                self.cfg,
+                jnp.asarray(pose),
+                jnp.asarray(self.map.pt_xyz[safe]),
+                jnp.asarray(self.map.pt_normal[safe]),
+                jnp.asarray(self.map.pt_min_dist[safe]),
+                jnp.asarray(self.map.pt_max_dist[safe]),
+                jnp.asarray(self.map.pt_desc[safe]),
+                jnp.asarray(pts_pad >= 0),
+                jnp.asarray(fresh),
+                jnp.asarray(seed_xyz),
+                jnp.asarray(seed_valid),
+                f,
+                self.K,
+                self.inv_sigma2_levels,
+                jnp.asarray(self.sf),
+                radius_override=radius,
+                nn_ratio_override=1.0,
+            )
+        )
+        new_mp = cur_mp.copy()
+        new_mp[m_idx[m_valid]] = pts_pad[m_valid]
+        new_mp[~inl] = -1
+        return pose2, new_mp, int(n)
 
     def _track_local_map(self, f, pose, cur_mp):
         """Widen matches to the covisibility-local map and re-optimize
@@ -1047,13 +1201,24 @@ class Tracking:
         c1a = frames >= self.cfg.tracking.max_frames_between_kf
         c1b = frames >= self.cfg.tracking.min_frames_between_kf and idle
         c2 = inliers < ref_matches * theta and inliers > 15
-        if not (c1a or (c1b and c2)):
+        # Urgency: tracking is close to the loss threshold — the map needs
+        # new points NOW (the reference reaches this state rarely because
+        # its mapper drains a keyframe in one slice; our pipelined mapper
+        # spreads it over frames, so starvation must not block insertion).
+        urgent = c2 and inliers < 2 * self.cfg.tracking.min_inliers_local_map
+        if not (c1a or ((c1b or urgent) and c2)):
             return False
         if idle:
             return True
-        if self.cfg.sensor != Sensor.MONOCULAR and mapper.queue_len() < 3:
+        # Mapper busy. The reference interrupts local BA and queues the
+        # keyframe for stereo/RGBD (queue<3) but drops it for monocular
+        # (Tracking.cc:1039-1057). Deviation: monocular also queues (with a
+        # tighter bound) — dropping starves the pipelined mapper and loses
+        # tracking where the reference's fast in-thread mapper would not.
+        if c1a or urgent:
             return True
-        return False
+        limit = 2 if self.cfg.sensor == Sensor.MONOCULAR else 3
+        return mapper.queue_len() < limit
 
     def _create_keyframe(self, f, cur_mp):
         """Promote the frame (reference: Tracking.cc:1063-1141); stereo/RGBD
@@ -1066,8 +1231,12 @@ class Tracking:
             fh.xy, fh.octave, fh.angle, fh.desc, fh.valid,
             ur=fh.ur, depth=fh.depth,
         )
-        for i in np.nonzero(cur_mp >= 0)[0]:
-            mp.add_observation(int(cur_mp[i]), k, int(i))
+        has = np.nonzero(cur_mp >= 0)[0]
+        # Dedupe (first feature wins if a point matched twice) then one
+        # vectorized observation append.
+        _, first = np.unique(cur_mp[has], return_index=True)
+        sel = has[np.sort(first)]
+        mp.add_observations_batch(cur_mp[sel], k, sel)
         # Stereo/RGBD: create close points for unmatched keypoints.
         if self.cfg.sensor != Sensor.MONOCULAR:
             depth = fh.depth
@@ -1094,13 +1263,13 @@ class Tracking:
             ).astype(np.float32)
             Tinv = np_se3.inverse(self.last_pose)
             xyz_w = xc @ Tinv[:, :3].T + Tinv[:, 3]
-            for i in order[:n_new]:
-                p = mp.add_point(xyz_w[i], np.asarray(f.desc)[i], k)
-                mp.add_observation(p, k, int(i))
-                mp.update_point_descriptor_and_normal(p)
-                cur_mp[i] = p
-        for p in cur_mp[cur_mp >= 0]:
-            mp.update_point_descriptor_and_normal(int(p))
+            sel_new = order[:n_new]
+            new_idx = mp.add_points_batch(
+                xyz_w[sel_new], fh.desc[sel_new], k
+            )
+            mp.add_observations_batch(new_idx, k, sel_new)
+            cur_mp[sel_new] = new_idx
+        mp.update_points_batch(np.unique(cur_mp[cur_mp >= 0]))
         mp.update_connections(k)
         self.ref_kf = k
         self.last_kf_frame_id = self.frame_id

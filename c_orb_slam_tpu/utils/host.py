@@ -24,3 +24,20 @@ def fetch(*arrays):
     """
     out = jax.device_get(arrays)
     return out if len(arrays) != 1 else out[0]
+
+
+def prefetch(*arrays):
+    """Start device→host copies in the background (copy_to_host_async).
+
+    The d2h path has a flat ~23 ms completion latency from initiation
+    (measured on the tunneled chip), independent of size — but the copy
+    proceeds concurrently with host and device work. Stages therefore
+    prefetch their results at DISPATCH time and `fetch` them one frame (or
+    one stage) later, when the latency window has already elapsed and the
+    transfer is effectively free. Arguments that are not device arrays are
+    ignored; pytrees are walked.
+    """
+    for a in jax.tree_util.tree_leaves(arrays):
+        copy = getattr(a, "copy_to_host_async", None)
+        if copy is not None:
+            copy()

@@ -71,9 +71,16 @@ def main():
         t4 = time.perf_counter(); add("h2d", t4 - t3)
         out = T._full_track_step(*args)
         t5 = time.perf_counter(); add("dispatch", t5 - t4)
+        from c_orb_slam_tpu.utils.host import prefetch as _pf
+        _pf(out)
+        t5b = time.perf_counter(); add("prefetch", t5b - t5)
+        hook = getattr(self, "overlap_hook", None)
+        if hook is not None:
+            hook()
+        t5c = time.perf_counter(); add("hook", t5c - t5b)
         (mm_ok, m1_idx, good_q, in_view, m2_idx, m2_valid,
          pose2, inl_feat, n2) = fetch(*out)
-        t6 = time.perf_counter(); add("fetch", t6 - t5)
+        t6 = time.perf_counter(); add("fetch", t6 - t5c)
         if not bool(mm_ok):
             return False, None, None
         self.map.pt_visible[safe[in_view]] += 1
