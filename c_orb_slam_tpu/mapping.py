@@ -130,8 +130,13 @@ def _triangulate_pairs_batch(
             xw[order],
         )
 
+    # Pairs are independent: run them vmapped (batch_size) instead of the
+    # sequential lax.map default — P sequential small-kernel chains were
+    # latency-bound on the chip (~200 ms/keyframe); batched they are a
+    # handful of large launches.
     return jax.lax.map(
-        per_pair, (T2s, xy2s, oct2s, desc2s, free2s, pair_valid)
+        per_pair, (T2s, xy2s, oct2s, desc2s, free2s, pair_valid),
+        batch_size=T2s.shape[0],
     )
 
 
@@ -184,12 +189,17 @@ def _fuse_pairs_batch(
         order = jnp.argsort(~m.valid)[:FUSE_COMPACT_K]
         return order.astype(jnp.int32), m.idx[order], m.valid[order]
 
+    # Independent pairs: vmap in chunks of 8 (a full vmap over the 32-pair
+    # capacity would hold ~1 GB of (point_cap, kp_cap) distance matrices
+    # live; chunking keeps the working set ~256 MB while still amortizing
+    # kernel launch latency).
     return jax.lax.map(
         per_pair,
         (
             T_dst, dst_xy, dst_octave, dst_desc, dst_kp_valid,
             pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_desc, pt_mask,
         ),
+        batch_size=8,
     )
 
 
@@ -213,6 +223,7 @@ class LocalMapping:
         self._stages: list = []
         self._current_kf: int = -1
         self.on_keyframe_done = None  # callback(kf) -> feeds LoopClosing
+        self.metrics = None  # optional Metrics registry (set by System)
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int):
@@ -251,16 +262,21 @@ class LocalMapping:
                 # the device crunches mapping work while the host tracks,
                 # like the reference's concurrent mapping thread.
                 self._stages = [
-                    lambda k=kf: self._cull_recent_points(k),
-                    lambda k=kf: self._triangulate_dispatch(k),
-                    lambda k=kf: self._triangulate_apply(),
-                    lambda k=kf: self._fuse_dispatch(k),
-                    lambda k=kf: self._fuse_apply(),
-                    lambda k=kf: self._ba_dispatch_if_ready(k),
-                    lambda k=kf: self._ba_apply(),
-                    lambda k=kf: self._finish_keyframe(k),
+                    ("cull_pts", lambda k=kf: self._cull_recent_points(k)),
+                    ("tri_dispatch", lambda k=kf: self._triangulate_dispatch(k)),
+                    ("tri_apply", lambda k=kf: self._triangulate_apply()),
+                    ("fuse_dispatch", lambda k=kf: self._fuse_dispatch(k)),
+                    ("fuse_apply", lambda k=kf: self._fuse_apply()),
+                    ("ba_dispatch", lambda k=kf: self._ba_dispatch_if_ready(k)),
+                    ("ba_apply", lambda k=kf: self._ba_apply()),
+                    ("finish_kf", lambda k=kf: self._finish_keyframe(k)),
                 ]
-            self._stages.pop(0)()
+            name, fn = self._stages.pop(0)
+            if self.metrics is not None:
+                with self.metrics.stage("map." + name):
+                    fn()
+            else:
+                fn()
 
     def drain(self):
         """Run the pipeline to empty (shutdown/reset/loop-closing barrier —

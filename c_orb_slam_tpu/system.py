@@ -43,6 +43,12 @@ class System:
     def __init__(self, cfg: SlamConfig, enable_loop_closing: bool = True):
         self.cfg = cfg
         self._enable_loop_closing = enable_loop_closing
+        # Structured observability (SURVEY.md §5): per-frame records +
+        # per-stage timers, exportable as JSONL. Built before the pipeline
+        # so stage objects can hold a reference to it.
+        from c_orb_slam_tpu.utils.metrics import Metrics
+
+        self.metrics = Metrics()
         vocabulary = None
         path = cfg.vocabulary.path
         if path is None:
@@ -63,11 +69,6 @@ class System:
         self._build_pipeline(MapState(cfg), vocabulary)
         self.localization_only = False
         self.timestamps: list[float] = []
-        # Structured observability (SURVEY.md §5): per-frame records +
-        # per-stage timers, exportable as JSONL.
-        from c_orb_slam_tpu.utils.metrics import Metrics
-
-        self.metrics = Metrics()
 
     def _build_pipeline(self, map_state: MapState, vocabulary):
         """Construct tracker/mapper/loop-closer over `map_state` and wire
@@ -89,6 +90,7 @@ class System:
             self.tracker.reloc_provider = self.loop_closing
         self.tracker.mapper = self.local_mapping
         self.local_mapping.on_keyframe_done = self._on_mapping_done
+        self.local_mapping.metrics = self.metrics
         # The tracker calls this between dispatching its fused step and
         # fetching the results: the mapping stage runs inside the tracking
         # readback's ~23 ms d2h latency window (see utils/host.prefetch).
