@@ -520,16 +520,25 @@ class LoopClosing:
         v_fixed = np.zeros(Nk, bool)
         v_fixed[loop_kf] = True
 
+        # Pad the edge axis to a power-of-two bucket: the problem shape then
+        # repeats across loop events and optimize_pose_graph compiles once
+        # per bucket instead of once per event (padding edges are weight-0,
+        # valid=False self-loops at vertex 0).
         E = len(edges)
+        Ep = max(16, 1 << (E - 1).bit_length())
+        pad = Ep - E
+        ident = jnp.asarray(sim3.identity())
         problem = pose_graph.PoseGraphProblem(
             vertices=jnp.asarray(verts, jnp.float32),
             v_fixed=jnp.asarray(v_fixed),
             v_valid=jnp.asarray(v_valid),
-            edge_i=jnp.asarray([e[0] for e in edges], jnp.int32),
-            edge_j=jnp.asarray([e[1] for e in edges], jnp.int32),
-            edge_Sji=jnp.stack([e[2] for e in edges]),
-            edge_weight=jnp.asarray([e[3] for e in edges], jnp.float32),
-            edge_valid=jnp.ones(E, bool),
+            edge_i=jnp.asarray([e[0] for e in edges] + [0] * pad, jnp.int32),
+            edge_j=jnp.asarray([e[1] for e in edges] + [0] * pad, jnp.int32),
+            edge_Sji=jnp.stack([e[2] for e in edges] + [ident] * pad),
+            edge_weight=jnp.asarray(
+                [e[3] for e in edges] + [0.0] * pad, jnp.float32
+            ),
+            edge_valid=jnp.asarray([True] * E + [False] * pad),
         )
         out = pose_graph.optimize_pose_graph(
             problem,

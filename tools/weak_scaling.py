@@ -1,0 +1,148 @@
+"""Weak-scaling harness for the map-sharded distributed BA.
+
+Holds the per-device problem size fixed (points + observations per
+device constant) while growing the mesh, and reports the efficiency
+t(1) / t(D) — ideal weak scaling keeps the step time flat at 1.0.
+The communication design predicts near-flat: per PCG iteration the
+collective volume is one all_gather(6C) + one psum_scatter(6C),
+independent of the observation count (parallel/sharded_ba.py).
+
+Runs on the virtual CPU mesh by default (the same code path runs
+unmodified on a real TPU slice):
+
+    python tools/weak_scaling.py [--devices 1 2 4 8] [--obs-per-dev 4096]
+
+Prints one JSON line per mesh size plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_problem(C, Pn, O, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from c_orb_slam_tpu.optim import ba
+
+    rng = np.random.default_rng(seed)
+    cam_T = np.tile(np.eye(3, 4, dtype=np.float32), (C, 1, 1))
+    for c in range(C):
+        cam_T[c, 0, 3] = -0.05 * c
+    pts = np.c_[rng.uniform(-3, 3, (Pn, 2)), rng.uniform(4, 9, Pn)].astype(
+        np.float32
+    )
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    obs_pt = rng.integers(0, Pn, O).astype(np.int32)
+    xc = pts[obs_pt] + cam_T[obs_cam][:, :, 3]
+    uv = np.stack(
+        [
+            500 * xc[:, 0] / xc[:, 2] + 320,
+            500 * xc[:, 1] / xc[:, 2] + 240,
+            np.zeros(O, np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return ba.BAProblem(
+        cam_T=jnp.asarray(cam_T),
+        cam_fixed=jnp.asarray([True, True] + [False] * (C - 2)),
+        cam_valid=jnp.ones(C, bool),
+        points=jnp.asarray(
+            pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+        ),
+        point_valid=jnp.ones(Pn, bool),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(uv),
+        obs_stereo=jnp.zeros(O, bool),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        K=jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32),
+        bf=jnp.asarray(0.0),
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--obs-per-dev", type=int, default=4096)
+    ap.add_argument("--pts-per-dev", type=int, default=1024)
+    ap.add_argument("--cams", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--tpu", action="store_true",
+        help="use the ambient (TPU) platform instead of a virtual CPU mesh",
+    )
+    args = ap.parse_args()
+
+    max_d = max(args.devices)
+    if not args.tpu:
+        # Virtual CPU mesh (a real multi-chip slice runs the same code).
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max_d}"
+        ).strip()
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from c_orb_slam_tpu.parallel import sharded_ba
+
+    avail = len(jax.devices())
+    results = []
+    for d in args.devices:
+        if d > avail:
+            print(json.dumps({"devices": d, "skipped": f"only {avail}"}))
+            continue
+        p = make_problem(args.cams, args.pts_per_dev * d, args.obs_per_dev * d)
+        mesh = sharded_ba.make_mesh(np.asarray(jax.devices()[:d]))
+        run = lambda: sharded_ba.sharded_bundle_adjust(
+            p, mesh, iters_first=3, iters_second=3, pcg_iters=20
+        )
+        (cam_T, *_), _ = run()  # compile + warmup
+        jax.block_until_ready(cam_T)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            (cam_T, *_), _ = run()
+            jax.block_until_ready(cam_T)
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        results.append((d, t))
+        print(
+            json.dumps(
+                {
+                    "devices": d,
+                    "obs": args.obs_per_dev * d,
+                    "points": args.pts_per_dev * d,
+                    "step_s": round(t, 4),
+                }
+            )
+        )
+    if len(results) >= 2:
+        t1 = results[0][1]
+        eff = {f"{d}x": round(t1 / t, 3) for d, t in results}
+        out = {"weak_scaling_efficiency": eff, "target": 0.8}
+        if not args.tpu:
+            # All virtual devices share this host's physical cores, so the
+            # measured efficiency is a LOWER bound: D virtual devices do
+            # D× total FLOPs on fixed silicon. The architecture-level
+            # check (collective volume independent of obs count) is
+            # tests/test_sharded_ba.py::test_sharded_point_side_is_local.
+            out["note"] = (
+                "virtual CPU mesh: devices share host cores; efficiency "
+                "is a lower bound, run with --tpu on a real slice"
+            )
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
