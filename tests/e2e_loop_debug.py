@@ -66,10 +66,12 @@ def orbit_trajectory(n_frames, r_path=8.0, frac=1.08):
 
 
 def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
-        vel_rot=0.5):
+        vel_rot=0.5, scale=1.0):
+    """scale < 1 shrinks the image (and intrinsics) for a faster run."""
     cam = CameraConfig(
-        fx=500, fy=500, cx=320, cy=240, width=640, height=480, fps=10,
-        bf=(500.0 * BASELINE) if sensor != Sensor.MONOCULAR else 0.0,
+        fx=500 * scale, fy=500 * scale, cx=320 * scale, cy=240 * scale,
+        width=int(640 * scale), height=int(480 * scale), fps=10,
+        bf=(500.0 * scale * BASELINE) if sensor != Sensor.MONOCULAR else 0.0,
     )
     cfg = SlamConfig(
         sensor=sensor,
