@@ -416,8 +416,10 @@ class LoopClosing:
                 x_old = sim3.apply(S_g_old, jnp.asarray(mp.pt_xyz[pts_g]))
                 x_new = sim3.apply(sim3.inverse(S_g_corr), x_old)
                 mp.pt_xyz[pts_g] = np.asarray(x_new)
+                mp.mark_points_dirty(pts_g)
                 moved_pts.update(pts_g.tolist())
             mp.kf_pose[g] = np.asarray(sim3.to_se3(S_g_corr))
+            mp.mark_kf_pose_dirty([g])
 
         # Fuse: project loop-neighborhood points into each corrected KF and
         # replace duplicates (:518-542 + SearchAndFuse :587-613).
@@ -562,10 +564,12 @@ class LoopClosing:
                 jax.vmap(sim3.inverse)(jnp.asarray(S_new)), x_cam[:, None, :]
             )[:, 0]
             mp.pt_xyz[pts] = np.asarray(x_new)
+            mp.mark_points_dirty(pts)
 
         # Write back SE3 poses (t/s, :991-1010).
         for k in live:
             mp.kf_pose[k] = np.asarray(sim3.to_se3(jnp.asarray(out_np[k])))
+        mp.mark_kf_pose_dirty(live)
         for p in pts:
             mp.update_point_descriptor_and_normal(int(p))
 
@@ -630,3 +634,5 @@ class LoopClosing:
         )
         mp.kf_pose[live] = np.asarray(res.cam_T)
         mp.pt_xyz[pts] = np.asarray(res.points)
+        mp.mark_kf_pose_dirty(live)
+        mp.mark_points_dirty(pts)

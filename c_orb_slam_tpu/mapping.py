@@ -58,17 +58,15 @@ def _fundamental_from_poses(T1, T2, K):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _triangulate_pairs_batch(
     cfg: SlamConfig,
-    T1: jnp.ndarray,
-    xy1: jnp.ndarray,
-    oct1: jnp.ndarray,
-    desc1: jnp.ndarray,
+    k1: jnp.ndarray,
+    ks: jnp.ndarray,
     free1: jnp.ndarray,
-    T2s: jnp.ndarray,
-    xy2s: jnp.ndarray,
-    oct2s: jnp.ndarray,
-    desc2s: jnp.ndarray,
     free2s: jnp.ndarray,
     pair_valid: jnp.ndarray,
+    KF_pose: jnp.ndarray,
+    KF_xy: jnp.ndarray,
+    KF_octave: jnp.ndarray,
+    KF_desc: jnp.ndarray,
     K: jnp.ndarray,
     sigma2: jnp.ndarray,
 ):
@@ -77,6 +75,10 @@ def _triangulate_pairs_batch(
     LocalMapping.cc:207-452 loops neighbors sequentially; here lax.map
     keeps a single program and a single readback).
 
+    Keyframe rows are read from the device-resident mirror by index —
+    the host uploads only the free-keypoint masks (kf_mp bookkeeping is
+    host-owned) and the neighbor list.
+
     Gate notes: reprojection at 5.991·sigma2 (reference :363-393); scale
     consistency within 1.5·scaleFactor (reference :395-431). Parallax —
     the reference accepts >1.15 deg (cos<0.9998, :299-320); our corner
@@ -84,11 +86,19 @@ def _triangulate_pairs_batch(
     """
     sf = cfg.orb.scale_factor
     rf = 1.5 * sf
+    T1 = KF_pose[k1]
+    xy1 = KF_xy[k1]
+    oct1 = KF_octave[k1]
+    desc1 = KF_desc[k1]
     c1 = se3.translation(se3.inverse(T1))
     s1 = sigma2[oct1]
 
     def per_pair(args):
-        T2, xy2, oct2, desc2, free2, pv = args
+        k2, free2, pv = args
+        T2 = KF_pose[k2]
+        xy2 = KF_xy[k2]
+        oct2 = KF_octave[k2]
+        desc2 = KF_desc[k2]
         F12 = _fundamental_from_poses(T1, T2, K)
         emask = match.epipolar_mask(F12, xy1, xy2, sigma2, oct2)
         oct_ok = jnp.abs(oct1[:, None] - oct2[None, :]) <= 1
@@ -135,8 +145,8 @@ def _triangulate_pairs_batch(
     # latency-bound on the chip (~200 ms/keyframe); batched they are a
     # handful of large launches.
     return jax.lax.map(
-        per_pair, (T2s, xy2s, oct2s, desc2s, free2s, pair_valid),
-        batch_size=T2s.shape[0],
+        per_pair, (ks, free2s, pair_valid),
+        batch_size=ks.shape[0],
     )
 
 
@@ -147,27 +157,45 @@ TRI_COMPACT_K = 384
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _fuse_pairs_batch(
     cfg: SlamConfig,
-    T_dst: jnp.ndarray,
-    dst_xy: jnp.ndarray,
-    dst_octave: jnp.ndarray,
-    dst_desc: jnp.ndarray,
-    dst_kp_valid: jnp.ndarray,
-    pt_xyz: jnp.ndarray,
-    pt_normal: jnp.ndarray,
-    pt_min_dist: jnp.ndarray,
-    pt_max_dist: jnp.ndarray,
-    pt_desc: jnp.ndarray,
-    pt_mask: jnp.ndarray,
+    dsts: jnp.ndarray,
+    pts_idx: jnp.ndarray,
+    KF_pose: jnp.ndarray,
+    KF_xy: jnp.ndarray,
+    KF_octave: jnp.ndarray,
+    KF_desc: jnp.ndarray,
+    KF_kp_valid: jnp.ndarray,
+    PT_xyz: jnp.ndarray,
+    PT_normal: jnp.ndarray,
+    PT_mind: jnp.ndarray,
+    PT_maxd: jnp.ndarray,
+    PT_desc: jnp.ndarray,
+    PT_valid: jnp.ndarray,
     K: jnp.ndarray,
     sf: jnp.ndarray,
 ):
     """Frustum + projection-guided fuse matching for ALL (src→dst) pairs
     in one dispatch (reference: ORBmatcher.cc:825-975 Fuse, called per
-    neighbor from LocalMapping::SearchInNeighbors :454-534)."""
+    neighbor from LocalMapping::SearchInNeighbors :454-534).
+
+    Keyframe and point rows come from the device-resident mirror; the
+    host uploads only the pair index table (dst keyframe + candidate
+    point indices per pair)."""
     from c_orb_slam_tpu.tracking import frustum_check
 
     def per_pair(args):
-        T, xy, octv, desc, kp_valid, xyz, normal, dmin, dmax, pdesc, pmask = args
+        dst_k, prow = args
+        T = KF_pose[dst_k]
+        xy = KF_xy[dst_k]
+        octv = KF_octave[dst_k]
+        desc = KF_desc[dst_k]
+        kp_valid = KF_kp_valid[dst_k]
+        safe = jnp.maximum(prow, 0)
+        xyz = PT_xyz[safe]
+        normal = PT_normal[safe]
+        dmin = PT_mind[safe]
+        dmax = PT_maxd[safe]
+        pdesc = PT_desc[safe]
+        pmask = (prow >= 0) & PT_valid[safe]
         in_view, uv, octave, _ = frustum_check(
             T, xyz, normal, dmin, dmax, pmask, K,
             img_w=cfg.camera.width,
@@ -193,14 +221,7 @@ def _fuse_pairs_batch(
     # capacity would hold ~1 GB of (point_cap, kp_cap) distance matrices
     # live; chunking keeps the working set ~256 MB while still amortizing
     # kernel launch latency).
-    return jax.lax.map(
-        per_pair,
-        (
-            T_dst, dst_xy, dst_octave, dst_desc, dst_kp_valid,
-            pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_desc, pt_mask,
-        ),
-        batch_size=8,
-    )
+    return jax.lax.map(per_pair, (dsts, pts_idx), batch_size=8)
 
 
 # Max fuse matches kept per (src,dst) pair (readback compaction).
@@ -215,6 +236,10 @@ class LocalMapping:
         self.K = camera.intrinsics_array(cfg.camera)
         self.sigma2 = np.asarray(cfg.orb.level_sigma2(), np.float32)
         self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
+        # Cached device constants: jnp.asarray of the same numpy array is
+        # a fresh ~3 ms transfer on a remote-attached chip.
+        self._sigma2_dev = jnp.asarray(self.sigma2)
+        self._sf_dev = jnp.asarray(self.sf)
         # Pipeline state: pending keyframes + remaining stages of the one
         # being processed (reference: the LocalMapping thread's queue,
         # LocalMapping.cc:114-119; stage interleaving replaces the thread,
@@ -384,21 +409,22 @@ class LocalMapping:
         if not pair_valid.any():
             return
 
+        dev = mp.device
+        dev.flush()
+        k1_d, ks_d, free1_d, free2_d, pv_d = jax.device_put(
+            (np.int32(k1), np.asarray(ks, np.int32), free1, free2,
+             pair_valid)
+        )
         result = _triangulate_pairs_batch(
             self.cfg,
-            jnp.asarray(mp.kf_pose[k1]),
-            jnp.asarray(mp.kf_xy[k1]),
-            jnp.asarray(mp.kf_octave[k1]),
-            jnp.asarray(mp.kf_desc[k1]),
-            jnp.asarray(free1),
-            jnp.asarray(mp.kf_pose[ks]),
-            jnp.asarray(mp.kf_xy[ks]),
-            jnp.asarray(mp.kf_octave[ks]),
-            jnp.asarray(mp.kf_desc[ks]),
-            jnp.asarray(free2),
-            jnp.asarray(pair_valid),
+            k1_d,
+            ks_d,
+            free1_d,
+            free2_d,
+            pv_d,
+            dev.kf_pose, dev.kf_xy, dev.kf_octave, dev.kf_desc,
             self.K,
-            jnp.asarray(self.sigma2),
+            self._sigma2_dev,
         )
         prefetch(result)  # readback completes during the next tracked frame
         self._pending_tri = (k1, ks, k2s, pair_valid, result)
@@ -515,24 +541,23 @@ class LocalMapping:
             live_pairs.append(live_pairs[-1])
             pts_per_pair.append(np.full(cap, -1, np.int64))
         pts_arr = np.stack(pts_per_pair)  # (P, cap)
-        safe = np.maximum(pts_arr, 0)
         dsts = [d for _, d in live_pairs]
 
+        dev = mp.device
+        dev.flush()
+        dsts_d, pts_idx_d = jax.device_put(
+            (np.asarray(dsts, np.int32), pts_arr.astype(np.int32))
+        )
         result = _fuse_pairs_batch(
             self.cfg,
-            jnp.asarray(mp.kf_pose[dsts]),
-            jnp.asarray(mp.kf_xy[dsts]),
-            jnp.asarray(mp.kf_octave[dsts]),
-            jnp.asarray(mp.kf_desc[dsts]),
-            jnp.asarray(mp.kf_kp_valid[dsts]),
-            jnp.asarray(mp.pt_xyz[safe]),
-            jnp.asarray(mp.pt_normal[safe]),
-            jnp.asarray(mp.pt_min_dist[safe]),
-            jnp.asarray(mp.pt_max_dist[safe]),
-            jnp.asarray(mp.pt_desc[safe]),
-            jnp.asarray(pts_arr >= 0),
+            dsts_d,
+            pts_idx_d,
+            dev.kf_pose, dev.kf_xy, dev.kf_octave, dev.kf_desc,
+            dev.kf_kp_valid,
+            dev.pt_xyz, dev.pt_normal, dev.pt_min_dist, dev.pt_max_dist,
+            dev.pt_desc, dev.pt_valid,
             self.K,
-            jnp.asarray(self.sf),
+            self._sf_dev,
         )
         prefetch(result)  # readback completes during the next tracked frame
         self._pending_fuse = (kf, live_pairs, pts_arr, n_real, result)
@@ -679,20 +704,18 @@ class LocalMapping:
         obs_isig[:n_obs] = inv_sigma2[mp.kf_octave[kfs_sel, feats_sel]]
         obs_valid[:n_obs] = True
 
+        # One batched h2d for the whole problem (each separate transfer
+        # call costs ~3 ms flat on a remote-attached chip).
+        up = jax.device_put(
+            (cam_T, cam_fixed, cam_valid, points, point_valid, obs_cam,
+             obs_pt, obs_uv, obs_stereo, obs_isig, obs_valid,
+             np.float32(self.cfg.camera.bf))
+        )
         problem = ba.BAProblem(
-            cam_T=jnp.asarray(cam_T),
-            cam_fixed=jnp.asarray(cam_fixed),
-            cam_valid=jnp.asarray(cam_valid),
-            points=jnp.asarray(points),
-            point_valid=jnp.asarray(point_valid),
-            obs_cam=jnp.asarray(obs_cam),
-            obs_pt=jnp.asarray(obs_pt),
-            obs_uv=jnp.asarray(obs_uv),
-            obs_stereo=jnp.asarray(obs_stereo),
-            obs_inv_sigma2=jnp.asarray(obs_isig),
-            obs_valid=jnp.asarray(obs_valid),
-            K=self.K,
-            bf=jnp.asarray(float(self.cfg.camera.bf)),
+            cam_T=up[0], cam_fixed=up[1], cam_valid=up[2], points=up[3],
+            point_valid=up[4], obs_cam=up[5], obs_pt=up[6], obs_uv=up[7],
+            obs_stereo=up[8], obs_inv_sigma2=up[9], obs_valid=up[10],
+            K=self.K, bf=up[11],
         )
         result = ba.bundle_adjust(
             problem,
@@ -727,6 +750,8 @@ class LocalMapping:
             if not cam_fixed[i]:
                 mp.kf_pose[k] = new_T[i]
         mp.pt_xyz[pts] = new_pts[: len(pts)]
+        mp.mark_kf_pose_dirty([k for k, i in cam_slot.items() if not cam_fixed[i]])
+        mp.mark_points_dirty(pts)
         # Erase outlier observations (reference: Optimizer.cc:745-757).
         for oi in np.nonzero(~inlier[:n_obs] & obs_valid[:n_obs])[0]:
             p = int(pts[obs_pt[oi]])

@@ -73,6 +73,10 @@ class MapState:
     # Monotonic version for "map changed" queries (reference:
     # Map::InformNewBigChange, src/Map.cc:70-80).
     big_change_idx: int = 0
+    # Device-resident mirror (slam_map/devicemap.py), created lazily by
+    # the first hot-path consumer. None until then so pure-host users
+    # (tests, tools) never allocate device memory.
+    _device: object = None
 
     def __post_init__(self):
         cap = self.cfg.capacity
@@ -113,6 +117,25 @@ class MapState:
         self.covis = np.zeros((Nk, Nk), i32)
         self.spanning_parent = np.full(Nk, -1, i32)
 
+    # --- device mirror -----------------------------------------------------
+
+    @property
+    def device(self):
+        """Lazily-created device-resident mirror (flush() before use)."""
+        if self._device is None:
+            from c_orb_slam_tpu.slam_map.devicemap import DeviceMap
+
+            self._device = DeviceMap(self)
+        return self._device
+
+    def mark_points_dirty(self, idx):
+        if self._device is not None:
+            self._device.mark_points(idx)
+
+    def mark_kf_pose_dirty(self, idx):
+        if self._device is not None:
+            self._device.mark_kf_pose(idx)
+
     # --- keyframe ops ------------------------------------------------------
 
     def add_keyframe(self, frame_id, pose, xy, octave, angle, desc, kp_valid,
@@ -134,6 +157,9 @@ class MapState:
         if depth is not None:
             self.kf_depth[k, :n] = depth
         self.n_keyframes += 1
+        if self._device is not None:
+            self._device.mark_kf_content(k)
+            self._device.mark_kf_pose([k])
         return k
 
     def add_point(self, xyz, desc, ref_kf) -> int:
@@ -164,6 +190,7 @@ class MapState:
         self.pt_obs_feat[idx] = -1
         self.pt_n_obs[idx] = 0
         self.n_points = max(self.n_points, int(idx.max()) + 1)
+        self.mark_points_dirty(idx)
         return idx.astype(np.int64)
 
     def add_observation(self, pt: int, kf: int, feat: int):
@@ -222,6 +249,7 @@ class MapState:
         self.pt_n_obs[pt] = 0
         self.pt_obs_kf[pt] = -1
         self.pt_obs_feat[pt] = -1
+        self.mark_points_dirty([pt])
 
     def replace_point(self, old: int, new: int):
         """Merge old into new (reference: MapPoint::Replace
@@ -251,6 +279,7 @@ class MapState:
         self.pt_n_obs[old] = 0
         self.pt_obs_kf[old] = -1
         self.pt_replaced_by[old] = new
+        self.mark_points_dirty([old, new])
 
     def resolve(self, idx: np.ndarray) -> np.ndarray:
         """Follow the replaced_by forwarding chain (reference:
@@ -371,6 +400,7 @@ class MapState:
         n_lv = self.cfg.orb.n_levels
         self.pt_max_dist[pts] = dist * sf ** level.astype(np.float32)
         self.pt_min_dist[pts] = self.pt_max_dist[pts] / (sf ** (n_lv - 1))
+        self.mark_points_dirty(pts)
 
     # --- queries -------------------------------------------------------------
 

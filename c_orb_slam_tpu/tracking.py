@@ -15,6 +15,7 @@ motion-only GN. The host keeps only index bookkeeping; there are no locks
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional
 
 import jax
@@ -104,53 +105,31 @@ def _pose_opt_over_queries(cfg: SlamConfig, T0, q_xyz, m, f, inv_sigma2_levels, 
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _motion_model_step(
-    cfg: SlamConfig,
-    T_pred: jnp.ndarray,
-    q_xyz: jnp.ndarray,
-    q_desc: jnp.ndarray,
-    q_valid: jnp.ndarray,
-    q_octave: jnp.ndarray,
-    f: frame_mod.FrameData,
-    K: jnp.ndarray,
-    inv_sigma2_levels: jnp.ndarray,
-    sf: jnp.ndarray,
-):
-    """Fused motion-model tracking step: project last frame's points,
-    window-matched Hamming search, motion-only pose GN — one dispatch,
-    one readback (reference: Tracking.cc:867-928 + Optimizer.cc:239)."""
-    xc = se3.apply(T_pred, q_xyz)
-    uv = camera.project(xc, K)
-    z_ok = xc[:, 2] > 0
-    radii = 15.0 * sf[q_octave]
-    lo = jnp.maximum(q_octave - 1, 0)
-    hi = jnp.minimum(q_octave + 1, cfg.orb.n_levels - 1)
-    m = match.search_by_projection(
-        uv, radii, q_desc, q_valid & z_ok,
-        f.xy, f.octave, f.desc, f.valid, lo, hi,
-        max_dist=cfg.matcher.th_high,
-        nn_ratio=cfg.matcher.nn_ratio_tracking,
-    )
-    result = _pose_opt_over_queries(
-        cfg, T_pred, q_xyz, m, f, inv_sigma2_levels, K
-    )
-    return m.idx, m.valid, result.pose, result.inliers, result.n_inliers
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def _ref_kf_step(
     cfg: SlamConfig,
     T0: jnp.ndarray,
-    q_xyz: jnp.ndarray,
-    q_desc: jnp.ndarray,
-    q_valid: jnp.ndarray,
-    q_angle: jnp.ndarray,
+    k: jnp.ndarray,
+    kf_mp_k: jnp.ndarray,
+    KF_desc: jnp.ndarray,
+    KF_angle: jnp.ndarray,
+    KF_kp_valid: jnp.ndarray,
+    PT_xyz: jnp.ndarray,
+    PT_valid: jnp.ndarray,
     f: frame_mod.FrameData,
     K: jnp.ndarray,
     inv_sigma2_levels: jnp.ndarray,
 ):
     """Fused reference-keyframe tracking step (reference:
-    Tracking.cc:757-799; BoW-accelerated there, dense masked here)."""
+    Tracking.cc:757-799; BoW-accelerated there, dense masked here).
+
+    Reads the keyframe's descriptors and the matched points' positions
+    from the device-resident map (slam_map/devicemap.py) — the only
+    upload is the keyframe's feature->point index column."""
+    q_desc = KF_desc[k]
+    q_angle = KF_angle[k]
+    safe = jnp.maximum(kf_mp_k, 0)
+    q_xyz = PT_xyz[safe]
+    q_valid = (kf_mp_k >= 0) & KF_kp_valid[k] & PT_valid[safe]
     m = match.match(
         q_desc, f.desc, q_valid, f.valid,
         max_dist=cfg.matcher.th_low, nn_ratio=0.7,
@@ -169,15 +148,15 @@ def _ref_kf_step(
 def _local_map_step(
     cfg: SlamConfig,
     T0: jnp.ndarray,
-    pt_xyz: jnp.ndarray,
-    pt_normal: jnp.ndarray,
-    pt_min_dist: jnp.ndarray,
-    pt_max_dist: jnp.ndarray,
-    pt_desc: jnp.ndarray,
-    pt_valid: jnp.ndarray,
+    local_idx: jnp.ndarray,
     pt_fresh: jnp.ndarray,
-    seed_xyz: jnp.ndarray,
-    seed_valid: jnp.ndarray,
+    seed_mp: jnp.ndarray,
+    PT_xyz: jnp.ndarray,
+    PT_normal: jnp.ndarray,
+    PT_mind: jnp.ndarray,
+    PT_maxd: jnp.ndarray,
+    PT_desc: jnp.ndarray,
+    PT_valid: jnp.ndarray,
     f: frame_mod.FrameData,
     K: jnp.ndarray,
     inv_sigma2_levels: jnp.ndarray,
@@ -189,11 +168,24 @@ def _local_map_step(
     covisibility-local point set, pose GN over seed+new matches — one
     dispatch, one readback (reference: Tracking.cc:930-974, 1143-1230).
 
+    The point set is addressed by index into the device-resident map
+    (local_idx, -1 padded); seeds likewise (seed_mp: per-feature map
+    index). Uploads shrink to the index vectors.
+
     Search radius: 2.5 px scaled, widened to 4.0 for oblique views
     (reference: ORBmatcher.cc:131-137 RadiusByViewingCos). Octave gate
     widened vs the reference's [o-1, o] — the predicted octave degrades
     with scale drift, and a tight gate turns drift into match starvation
     (observed in synthetic runs)."""
+    safe_l = jnp.maximum(local_idx, 0)
+    pt_xyz = PT_xyz[safe_l]
+    pt_normal = PT_normal[safe_l]
+    pt_min_dist = PT_mind[safe_l]
+    pt_max_dist = PT_maxd[safe_l]
+    pt_desc = PT_desc[safe_l]
+    pt_valid = (local_idx >= 0) & PT_valid[safe_l]
+    seed_valid = seed_mp >= 0
+    seed_xyz = PT_xyz[jnp.maximum(seed_mp, 0)]
     in_view, uv, octave, view_cos = frustum_check(
         T0, pt_xyz, pt_normal, pt_min_dist, pt_max_dist, pt_valid, K,
         img_w=cfg.camera.width,
@@ -255,18 +247,18 @@ def _local_map_step(
 def _full_track_step(
     cfg: SlamConfig,
     T_pred: jnp.ndarray,
-    q_xyz: jnp.ndarray,
-    q_desc: jnp.ndarray,
-    q_valid: jnp.ndarray,
-    q_octave: jnp.ndarray,
-    q_ids: jnp.ndarray,
-    pt_xyz: jnp.ndarray,
-    pt_normal: jnp.ndarray,
-    pt_min_dist: jnp.ndarray,
-    pt_max_dist: jnp.ndarray,
-    pt_desc: jnp.ndarray,
-    pt_valid: jnp.ndarray,
-    pt_ids: jnp.ndarray,
+    last_mp: jnp.ndarray,
+    last_octave: jnp.ndarray,
+    last_desc: jnp.ndarray,
+    vo_xyz: jnp.ndarray,
+    vo_valid: jnp.ndarray,
+    local_idx: jnp.ndarray,
+    PT_xyz: jnp.ndarray,
+    PT_normal: jnp.ndarray,
+    PT_mind: jnp.ndarray,
+    PT_maxd: jnp.ndarray,
+    PT_desc: jnp.ndarray,
+    PT_valid: jnp.ndarray,
     f: frame_mod.FrameData,
     K: jnp.ndarray,
     inv_sigma2_levels: jnp.ndarray,
@@ -277,9 +269,35 @@ def _full_track_step(
     covisibility-local points -> projection matching -> pose GN again
     (reference: the Track() pipeline, Tracking.cc:313 + :930).
 
+    All map data is read from the device-resident mirror
+    (slam_map/devicemap.py): queries are addressed by last frame's
+    feature->point indices (last_mp), the local set by local_idx. The
+    per-frame upload is the pose prior + two index vectors (~40 KB) —
+    on a remote-attached chip each h2d call costs ~3 ms flat, so the
+    dozen gathered-row uploads this replaces dominated the frame budget.
+
+    VO temporal points (localization mode, reference Tracking.cc:801-865):
+    rows with vo_valid get position vo_xyz and last frame's descriptor
+    instead of map data; their last_mp is -1 so they never bind to map
+    points.
+
     The local point set is chosen by the host from the PREVIOUS frame's
     covisibility — one frame stale, exactly as the reference's tracking
     reads a map its mapping thread mutates concurrently."""
+    safe_q = jnp.maximum(last_mp, 0)
+    q_xyz = jnp.where(vo_valid[:, None], vo_xyz, PT_xyz[safe_q])
+    q_desc = jnp.where(vo_valid[:, None], last_desc, PT_desc[safe_q])
+    q_valid = ((last_mp >= 0) & PT_valid[safe_q]) | vo_valid
+    q_octave = last_octave
+    q_ids = last_mp
+    safe_l = jnp.maximum(local_idx, 0)
+    pt_xyz = PT_xyz[safe_l]
+    pt_normal = PT_normal[safe_l]
+    pt_min_dist = PT_mind[safe_l]
+    pt_max_dist = PT_maxd[safe_l]
+    pt_desc = PT_desc[safe_l]
+    pt_valid = (local_idx >= 0) & PT_valid[safe_l]
+    pt_ids = local_idx
     # --- Stage 1: motion model (Tracking.cc:867) ---
     xc = se3.apply(T_pred, q_xyz)
     uv = camera.project(xc, K)
@@ -383,6 +401,8 @@ class Tracking:
         self.only_tracking = False
         self.K = camera.intrinsics_array(cfg.camera)
         self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
+        self._sf_dev = jnp.asarray(self.sf)  # cached: no re-upload per frame
+        self._vo_zeros = None
         self.inv_sigma2_levels = jnp.asarray(
             1.0 / np.asarray(cfg.orb.level_sigma2(), np.float32)
         )
@@ -408,6 +428,15 @@ class Tracking:
         # System.cc:345-380 reconstruction).
         self.trajectory: list = []
         self.current_inliers = 0
+        # Hot-path sub-stage wall-time accumulators (ms), read by
+        # tools/profile_track_fine.py — kept in the real code path so the
+        # profile can never go stale against a duplicated copy.
+        self.stage_ms: dict = {}
+
+    def _mark(self, name: str, t0: float) -> float:
+        t = time.perf_counter()
+        self.stage_ms[name] = self.stage_ms.get(name, 0.0) + (t - t0) * 1000
+        return t
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -654,6 +683,8 @@ class Tracking:
         )
         mp.kf_pose[k1] = cam_T[1]
         mp.pt_xyz[pts] = points
+        mp.mark_kf_pose_dirty([k1])
+        mp.mark_points_dirty(pts)
         # Re-normalize to median depth 1 after BA (the BA can drift the
         # free scale gauge of a two-view mono map).
         T = mp.kf_pose[k0]
@@ -662,6 +693,8 @@ class Tracking:
         if med > 0:
             mp.pt_xyz[pts] /= med
             mp.kf_pose[k1][:, 3] /= med
+            mp.mark_points_dirty(pts)
+            mp.mark_kf_pose_dirty([k1])
         self.last_pose = mp.kf_pose[k1].copy()
 
     def _stereo_initialization(self, f: frame_mod.FrameData):
@@ -738,40 +771,16 @@ class Tracking:
         pose, inl, n = fetch(result.pose, result.inliers, result.n_inliers)
         return pose, inl, int(n)
 
-    def _track_fused(self, f: frame_mod.FrameData):
-        """Steady-state hot path: motion-model + local-map tracking as ONE
-        device program with ONE readback (see _full_track_step). The local
-        point set comes from the previous frame's covisibility (one frame
-        stale — the reference's tracking likewise races its mapping
-        thread's map updates)."""
-        last_has = self.last_mp >= 0
-        if last_has.sum() < 10:
-            return False, None, None
-        local_kfs = self._local_keyframes(self.last_mp)
-        local_pts = self._local_points(local_kfs)
-        if len(local_pts) == 0:
-            return False, None, None
-        # Fixed capacity: ONE compiled program for the whole run (dynamic
-        # bucketing was tried and recompile stalls at bucket transitions
-        # cost far more than the padded compute).
-        cap = self.cfg.capacity.local_map_max_points
-        pts_pad = np.full(cap, -1, np.int64)
-        pts_pad[: len(local_pts)] = local_pts[:cap]
-        safe = np.maximum(pts_pad, 0)
+    def _vo_arrays(self, n_feat: int):
+        """Visual-odometry temporal points (reference: UpdateLastFrame,
+        Tracking.cc:801-865): in localization mode, stereo/RGB-D augments
+        the motion-model query set with the last frame's close depth
+        points that have no map association, so tracking survives outside
+        the mapped region. These rows carry last_mp = -1, so they never
+        create map associations — they only constrain pose.
 
-        T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
-        T_pred = T_pred[:3].astype(np.float32)
-        idx = np.maximum(self.last_mp, 0)
-
-        # Visual-odometry temporal points (reference: UpdateLastFrame,
-        # Tracking.cc:801-865): in localization mode, stereo/RGB-D
-        # augments the motion-model query set with the last frame's close
-        # depth points that have no map association, so tracking survives
-        # outside the mapped region. These rows carry last_mp = -1, so
-        # they never create map associations — they only constrain pose.
-        q_xyz = self.map.pt_xyz[idx]
-        q_desc = self.map.pt_desc[idx]
-        q_valid = last_has
+        Returns (vo_xyz, vo_valid) as HOST arrays when active, else the
+        cached device-resident zero arrays (no upload)."""
         if (
             self.only_tracking
             and self.cfg.sensor != Sensor.MONOCULAR
@@ -783,7 +792,7 @@ class Tracking:
                 (depth > 0)
                 & (depth < self.cfg.tracking.th_depth * self.cfg.camera.baseline)
             )
-            vo = close & ~last_has & lf_valid
+            vo = close & (self.last_mp < 0) & lf_valid
             if vo.any():
                 xyl = np.asarray(self.last_frame.xy)
                 Kc = np.asarray(self.K)
@@ -797,32 +806,70 @@ class Tracking:
                 )
                 Tinv = np_se3.inverse(self.last_pose)
                 xw = (xc @ Tinv[:, :3].T + Tinv[:, 3]).astype(np.float32)
-                q_xyz = np.where(vo[:, None], xw, q_xyz)
-                q_desc = np.where(
-                    vo[:, None], np.asarray(self.last_frame.desc), q_desc
-                )
-                q_valid = last_has | vo
+                return xw, vo
+        if self._vo_zeros is None or self._vo_zeros[0].shape[0] != n_feat:
+            self._vo_zeros = (
+                jnp.zeros((n_feat, 3), jnp.float32),
+                jnp.zeros((n_feat,), bool),
+            )
+        return self._vo_zeros
 
+    def _track_fused(self, f: frame_mod.FrameData):
+        """Steady-state hot path: motion-model + local-map tracking as ONE
+        device program with ONE readback (see _full_track_step). The local
+        point set comes from the previous frame's covisibility (one frame
+        stale — the reference's tracking likewise races its mapping
+        thread's map updates)."""
+        t0 = time.perf_counter()
+        last_has = self.last_mp >= 0
+        if last_has.sum() < 10:
+            return False, None, None
+        local_kfs = self._local_keyframes(self.last_mp)
+        local_pts = self._local_points(local_kfs)
+        if len(local_pts) == 0:
+            return False, None, None
+        t0 = self._mark("select", t0)
+        # Fixed capacity: ONE compiled program for the whole run (dynamic
+        # bucketing was tried and recompile stalls at bucket transitions
+        # cost far more than the padded compute).
+        cap = self.cfg.capacity.local_map_max_points
+        pts_pad = np.full(cap, -1, np.int32)
+        pts_pad[: min(len(local_pts), cap)] = local_pts[:cap]
+        safe = np.maximum(pts_pad, 0)
+
+        T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
+        T_pred = T_pred[:3].astype(np.float32)
+
+        vo_xyz, vo_valid = self._vo_arrays(f.xy.shape[0])
+        t0 = self._mark("prep", t0)
+        dev = self.map.device
+        dev.flush()
+        t0 = self._mark("flush", t0)
+        # ONE batched h2d for all small host-side inputs.
+        T_pred_d, last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = (
+            jax.device_put(
+                (T_pred, self.last_mp.astype(np.int32), pts_pad,
+                 vo_xyz, vo_valid)
+            )
+        )
+        t0 = self._mark("upload", t0)
         out = _full_track_step(
             self.cfg,
-            jnp.asarray(T_pred),
-            jnp.asarray(q_xyz),
-            jnp.asarray(q_desc),
-            jnp.asarray(q_valid),
+            T_pred_d,
+            last_mp_d,
             self.last_frame.octave,
-            jnp.asarray(self.last_mp.astype(np.int32)),
-            jnp.asarray(self.map.pt_xyz[safe]),
-            jnp.asarray(self.map.pt_normal[safe]),
-            jnp.asarray(self.map.pt_min_dist[safe]),
-            jnp.asarray(self.map.pt_max_dist[safe]),
-            jnp.asarray(self.map.pt_desc[safe]),
-            jnp.asarray(pts_pad >= 0),
-            jnp.asarray(pts_pad.astype(np.int32)),
+            self.last_frame.desc,
+            vo_xyz_d,
+            vo_valid_d,
+            local_idx_d,
+            dev.pt_xyz, dev.pt_normal, dev.pt_min_dist, dev.pt_max_dist,
+            dev.pt_desc, dev.pt_valid,
             f,
             self.K,
             self.inv_sigma2_levels,
-            jnp.asarray(self.sf),
+            self._sf_dev,
         )
+        t0 = self._mark("dispatch", t0)
         # Start the result copies immediately, then fill the d2h latency
         # window (~23 ms flat on the tunneled chip) with useful host work:
         # the mapping pipeline stage for pending keyframes runs HERE, via
@@ -832,11 +879,13 @@ class Tracking:
         hook = getattr(self, "overlap_hook", None)
         if hook is not None:
             hook()
+        t0 = self._mark("hook", t0)
         (
             mm_ok, m1_idx, good_q,
             in_view, m2_idx, m2_valid,
             pose2, inl_feat, n2,
         ) = fetch(*out)
+        t0 = self._mark("fetch", t0)
         if not bool(mm_ok):
             return False, None, None
         self.map.pt_visible[safe[in_view]] += 1
@@ -876,64 +925,37 @@ class Tracking:
             return n >= self.cfg.tracking.min_inliers_pose, pose2, new_mp
         return n >= need, pose2, new_mp
 
-    def _track_motion_model(self, f: frame_mod.FrameData):
-        """Project last frame's points with constant-velocity prior
-        (reference: Tracking.cc:867-928 + ORBmatcher.cc:1328).
-
-        One fused device step (match + pose GN) and one readback."""
-        T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
-        T_pred = T_pred[:3].astype(np.float32)
-
-        last_has = self.last_mp >= 0
-        if last_has.sum() < 10:
-            return False, None, None
-        idx = np.maximum(self.last_mp, 0)
-        m_idx, m_valid, pose, inl, n = fetch(
-            *_motion_model_step(
-                self.cfg,
-                jnp.asarray(T_pred),
-                jnp.asarray(self.map.pt_xyz[idx]),
-                jnp.asarray(self.map.pt_desc[idx]),
-                jnp.asarray(last_has),
-                self.last_frame.octave,
-                f,
-                self.K,
-                self.inv_sigma2_levels,
-                jnp.asarray(self.sf),
-            )
-        )
-        if m_valid.sum() < 20:
-            return False, None, None
-        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
-        good_q = m_valid & inl
-        cur_mp[m_idx[good_q]] = self.last_mp[good_q]
-        if n < self.cfg.tracking.min_inliers_pose:
-            return False, None, None
-        return True, pose, cur_mp
-
     def _track_reference_kf(self, f: frame_mod.FrameData):
         """Match against the reference keyframe's map points (reference:
         Tracking.cc:757-799; BoW-accelerated there, dense masked here).
 
-        One fused device step and one readback."""
+        One fused device step and one readback; keyframe descriptors and
+        point positions come from the device-resident map."""
         k = self.ref_kf
         if k < 0:
             return False, None, None
         kf_mp = self.map.kf_mp[k]
-        has = kf_mp >= 0
         T0 = (
             self.last_pose
             if self.last_pose is not None
             else np.eye(3, 4, dtype=np.float32)
         )
+        dev = self.map.device
+        dev.flush()
+        T0_d, k_d, kf_mp_d = jax.device_put(
+            (T0.astype(np.float32), np.int32(k), kf_mp.astype(np.int32))
+        )
         m_idx, m_valid, pose, inl, n = fetch(
             *_ref_kf_step(
                 self.cfg,
-                jnp.asarray(T0),
-                jnp.asarray(self.map.pt_xyz[np.maximum(kf_mp, 0)]),
-                jnp.asarray(self.map.kf_desc[k]),
-                jnp.asarray(has & self.map.kf_kp_valid[k]),
-                jnp.asarray(self.map.kf_angle[k]),
+                T0_d,
+                k_d,
+                kf_mp_d,
+                dev.kf_desc,
+                dev.kf_angle,
+                dev.kf_kp_valid,
+                dev.pt_xyz,
+                dev.pt_valid,
                 f,
                 self.K,
                 self.inv_sigma2_levels,
@@ -1039,32 +1061,28 @@ class Tracking:
         pts = np.unique(kf_mp[kf_mp >= 0])
         pts = pts[self.map.pt_valid[pts]]
         cap = self.cfg.capacity.local_map_max_points
-        pts_pad = np.full(cap, -1, np.int64)
+        pts_pad = np.full(cap, -1, np.int32)
         pts_pad[: min(len(pts), cap)] = pts[:cap]
-        safe = np.maximum(pts_pad, 0)
-        matched = set(cur_mp[cur_mp >= 0].tolist())
-        fresh = np.asarray(
-            [p not in matched if p >= 0 else False for p in pts_pad]
+        fresh = (pts_pad >= 0) & ~np.isin(pts_pad, cur_mp[cur_mp >= 0])
+        dev = self.map.device
+        dev.flush()
+        pose_d, local_idx_d, fresh_d, seed_mp_d = jax.device_put(
+            (pose.astype(np.float32), pts_pad, fresh,
+             cur_mp.astype(np.int32))
         )
-        seed_valid = cur_mp >= 0
-        seed_xyz = self.map.pt_xyz[np.maximum(cur_mp, 0)]
         in_view, m_idx, m_valid, pose2, inl, n = fetch(
             *_local_map_step(
                 self.cfg,
-                jnp.asarray(pose),
-                jnp.asarray(self.map.pt_xyz[safe]),
-                jnp.asarray(self.map.pt_normal[safe]),
-                jnp.asarray(self.map.pt_min_dist[safe]),
-                jnp.asarray(self.map.pt_max_dist[safe]),
-                jnp.asarray(self.map.pt_desc[safe]),
-                jnp.asarray(pts_pad >= 0),
-                jnp.asarray(fresh),
-                jnp.asarray(seed_xyz),
-                jnp.asarray(seed_valid),
+                pose_d,
+                local_idx_d,
+                fresh_d,
+                seed_mp_d,
+                dev.pt_xyz, dev.pt_normal, dev.pt_min_dist,
+                dev.pt_max_dist, dev.pt_desc, dev.pt_valid,
                 f,
                 self.K,
                 self.inv_sigma2_levels,
-                jnp.asarray(self.sf),
+                self._sf_dev,
                 radius_override=radius,
                 nn_ratio_override=1.0,
             )
@@ -1087,7 +1105,7 @@ class Tracking:
         cap = self.cfg.capacity.local_map_max_points
         if len(local_pts) > cap:
             local_pts = local_pts[:cap]
-        pts_pad = np.full(cap, -1, np.int64)
+        pts_pad = np.full(cap, -1, np.int32)
         pts_pad[: len(local_pts)] = local_pts
         safe = np.maximum(pts_pad, 0)
 
@@ -1095,29 +1113,26 @@ class Tracking:
         # projection search and pose GN run as ONE fused device step with
         # a single readback. (Search-radius and widened-octave-gate notes:
         # see _local_map_step.)
-        matched_set = set(cur_mp[cur_mp >= 0].tolist())
-        fresh = np.asarray(
-            [p not in matched_set if p >= 0 else False for p in pts_pad]
+        fresh = (pts_pad >= 0) & ~np.isin(pts_pad, cur_mp[cur_mp >= 0])
+        dev = self.map.device
+        dev.flush()
+        pose_d, local_idx_d, fresh_d, seed_mp_d = jax.device_put(
+            (np.asarray(pose, np.float32), pts_pad, fresh,
+             cur_mp.astype(np.int32))
         )
-        seed_valid = cur_mp >= 0
-        seed_xyz = self.map.pt_xyz[np.maximum(cur_mp, 0)]
         in_view, m_idx, m_valid, pose2, inl, n = fetch(
             *_local_map_step(
                 self.cfg,
-                jnp.asarray(pose),
-                jnp.asarray(self.map.pt_xyz[safe]),
-                jnp.asarray(self.map.pt_normal[safe]),
-                jnp.asarray(self.map.pt_min_dist[safe]),
-                jnp.asarray(self.map.pt_max_dist[safe]),
-                jnp.asarray(self.map.pt_desc[safe]),
-                jnp.asarray(pts_pad >= 0),
-                jnp.asarray(fresh),
-                jnp.asarray(seed_xyz),
-                jnp.asarray(seed_valid),
+                pose_d,
+                local_idx_d,
+                fresh_d,
+                seed_mp_d,
+                dev.pt_xyz, dev.pt_normal, dev.pt_min_dist,
+                dev.pt_max_dist, dev.pt_desc, dev.pt_valid,
                 f,
                 self.K,
                 self.inv_sigma2_levels,
-                jnp.asarray(self.sf),
+                self._sf_dev,
             )
         )
         self.map.pt_visible[safe[in_view]] += 1
@@ -1146,17 +1161,25 @@ class Tracking:
         return n >= need, pose2, new_mp
 
     def _local_keyframes(self, cur_mp) -> list[int]:
-        """Covisibility vote (reference: Tracking.cc:1231-1300)."""
-        votes = {}
-        for p in cur_mp[cur_mp >= 0]:
-            n = self.map.pt_n_obs[p]
-            for k in self.map.pt_obs_kf[p, :n]:
-                if k >= 0:
-                    votes[int(k)] = votes.get(int(k), 0) + 1
-        if not votes:
+        """Covisibility vote (reference: Tracking.cc:1231-1300).
+
+        Vectorized: one bincount over the observation table of the matched
+        points (the reference iterates a map<KF*,int>; a Python dict here
+        cost ~1 ms/frame at map scale)."""
+        pts = cur_mp[cur_mp >= 0]
+        Nk = self.map.kf_pose.shape[0]
+        if len(pts):
+            obs = self.map.pt_obs_kf[pts]
+            obs = obs[obs >= 0]
+            votes = np.bincount(obs, minlength=Nk)
+        else:
+            votes = np.zeros(Nk, np.int64)
+        if not votes.any():
             return [self.ref_kf] if self.ref_kf >= 0 else []
-        ranked = sorted(votes, key=votes.get, reverse=True)
-        local = ranked[: self.cfg.tracking.max_local_keyframes]
+        order = np.argsort(-votes, kind="stable")
+        n_vote = int((votes > 0).sum())
+        local = order[: min(n_vote, self.cfg.tracking.max_local_keyframes)]
+        local = [int(k) for k in local]
         # Reference KF = most-voting keyframe.
         self.ref_kf = local[0]
         # Add one covisibility ring (K2 set, capped).
@@ -1171,11 +1194,10 @@ class Tracking:
         return local
 
     def _local_points(self, local_kfs) -> np.ndarray:
-        pts = set()
-        for k in local_kfs:
-            mp = self.map.kf_mp[k]
-            pts.update(mp[mp >= 0].tolist())
-        pts = np.asarray(sorted(pts), np.int64)
+        if len(local_kfs) == 0:
+            return np.zeros(0, np.int64)
+        cols = self.map.kf_mp[np.asarray(local_kfs)].ravel()
+        pts = np.unique(cols[cols >= 0])
         if len(pts):
             pts = pts[self.map.pt_valid[pts]]
         return pts

@@ -94,11 +94,16 @@ def main():
     sf = jnp.asarray(cfg.orb.scale_factors(), jnp.float32)
     inv_s2 = jnp.asarray(1.0 / np.asarray(cfg.orb.level_sigma2(), np.float32))
 
+    vo_xyz = jnp.zeros((N, 3), jnp.float32)
+    vo_valid = jnp.zeros((N,), bool)
+    last_mp = jnp.arange(N, dtype=jnp.int32)
+    local_idx = pt_ids
+
     def full_step():
         return T._full_track_step(
-            cfg, T_pred, q_xyz, q_desc, q_valid, f.octave,
-            jnp.arange(N, dtype=jnp.int32),
-            pt_xyz, pt_normal, pt_min, pt_max, pt_desc, pt_valid, pt_ids,
+            cfg, T_pred, last_mp, f.octave, f.desc, vo_xyz, vo_valid,
+            local_idx,
+            pt_xyz, pt_normal, pt_min, pt_max, pt_desc, pt_valid,
             f, K, inv_s2, sf)
     timeit("_full_track_step", full_step)
 
