@@ -19,14 +19,15 @@ from c_orb_slam_tpu.config import SlamConfig
 from c_orb_slam_tpu.slam_map.mapstate import MapState
 
 _ARRAY_FIELDS = [
-    "kf_pose", "kf_valid", "kf_frame_id", "kf_xy", "kf_octave", "kf_angle",
+    "kf_pose", "kf_valid", "kf_frame_id", "kf_serial", "kf_timestamp",
+    "kf_xy", "kf_octave", "kf_angle",
     "kf_desc", "kf_ur", "kf_depth", "kf_kp_valid", "kf_mp",
     "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist", "pt_max_dist",
     "pt_valid", "pt_ref_kf", "pt_first_kf", "pt_visible", "pt_found",
     "pt_replaced_by", "pt_obs_kf", "pt_obs_feat", "pt_n_obs",
     "covis", "spanning_parent",
 ]
-_SCALAR_FIELDS = ["n_keyframes", "big_change_idx"]
+_SCALAR_FIELDS = ["n_keyframes", "n_added_keyframes", "big_change_idx"]
 
 
 def save_map(path: str, mapstate: MapState, vocabulary=None):
@@ -56,9 +57,17 @@ def load_map(path: str, cfg: SlamConfig) -> tuple[MapState, Optional[object]]:
     z = np.load(path, allow_pickle=False)
     m = MapState(cfg)
     for f in _ARRAY_FIELDS:
-        setattr(m, f, z[f].copy())
+        if f in z:
+            setattr(m, f, z[f].copy())
     for f in _SCALAR_FIELDS:
-        setattr(m, f, int(z[f]))
+        if f in z:
+            setattr(m, f, int(z[f]))
+    if "kf_serial" not in z:
+        # Pre-serial checkpoint: slots were never recycled, so slot id
+        # order IS insertion order.
+        m.kf_serial[: m.n_keyframes] = np.arange(m.n_keyframes)
+    if "n_added_keyframes" not in z:
+        m.n_added_keyframes = m.n_keyframes
     voc = None
     if "voc_k" in z:
         import jax.numpy as jnp

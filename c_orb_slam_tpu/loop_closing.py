@@ -70,12 +70,21 @@ class LoopClosing:
         # frame when the prefetched score readback has landed.
         self._pending_detect = None
         self.last_loop_kf: int = -1000000
+        self.last_loop_serial: int = -(1 << 40)
         self.consistent_groups: list[tuple[set, int]] = []
         self.loop_edges: list[tuple[int, int]] = []  # prior loop edges
         self._rng = jax.random.PRNGKey(cfg.vocabulary.seed + 1)
         self.n_loops_closed = 0
         # Set by System so a loop correction also fixes the tracker state.
         self.on_pose_correction = None
+        # Evict culled keyframes from the place-recognition database
+        # (reference: KeyFrame::SetBadFlag erases from KeyFrameDatabase,
+        # KeyFrame.cc:543).
+        mapstate.on_kf_erased = self._on_kf_erased
+
+    def _on_kf_erased(self, k: int):
+        if self.db is not None:
+            self.db.erase(k)
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -189,6 +198,7 @@ class LoopClosing:
         _dbg(f"loop accepted: kf {kf} <-> {loop_kf}")
         self._correct_loop(kf, loop_kf, S_cl, matched_pts)
         self.last_loop_kf = kf
+        self.last_loop_serial = int(self.map.kf_serial[kf])
         self.n_loops_closed += 1
         self.map.big_change_idx += 1
         return True
@@ -211,7 +221,9 @@ class LoopClosing:
         self, kf: int, connected, score: np.ndarray, n_shared: np.ndarray
     ) -> list[int]:
         """Reference: LoopClosing::DetectLoop (:103-229)."""
-        if kf < self.last_loop_kf + self.cfg.loop.min_kf_gap or (
+        # Dead time compares insertion serials, not slot ids (slots are
+        # recycled at capacity).
+        if self.map.kf_serial[kf] < self.last_loop_serial + self.cfg.loop.min_kf_gap or (
             len(self.map.live_keyframes()) < self.cfg.loop.min_kf_gap
         ):
             self.consistent_groups = []

@@ -232,7 +232,7 @@ class LocalMapping:
     def __init__(self, cfg: SlamConfig, mapstate: MapState):
         self.cfg = cfg
         self.map = mapstate
-        self.recent_points: list[tuple[int, int]] = []  # (pt, born_kf)
+        self.recent_points: list[tuple[int, int]] = []  # (pt, born_serial)
         self.K = camera.intrinsics_array(cfg.camera)
         self.sigma2 = np.asarray(cfg.orb.level_sigma2(), np.float32)
         self.sf = np.asarray(cfg.orb.scale_factors(), np.float32)
@@ -344,10 +344,11 @@ class LocalMapping:
         """Found-ratio and observation-count gates (reference:
         LocalMapping.cc:170-205)."""
         keep = []
+        serial_now = int(self.map.kf_serial[kf])
         for pt, born in self.recent_points:
             if not self.map.pt_valid[pt]:
                 continue
-            age = kf - born
+            age = serial_now - born
             found_ratio = self.map.pt_found[pt] / max(self.map.pt_visible[pt], 1)
             min_obs = 2 if self.cfg.sensor == Sensor.MONOCULAR else 3
             if found_ratio < self.cfg.mapping.min_found_ratio:
@@ -467,7 +468,8 @@ class LocalMapping:
             mp.kf_mp[k1, i_f] = new_idx
             mp.kf_mp[k2_f, j2] = new_idx
             mp.update_points_batch(new_idx)
-            self.recent_points.extend((int(p), k1) for p in new_idx)
+            born = int(mp.kf_serial[k1])
+            self.recent_points.extend((int(p), born) for p in new_idx)
             mp.update_connections(k1)
             for k2 in set(k2s):
                 mp.update_connections(k2)
@@ -654,13 +656,14 @@ class LocalMapping:
             cam_valid[i] = True
             cam_fixed[i] = k not in local_set
         # Gauge: fix the oldest local keyframe too (reference fixes KF 0 or
-        # the frontier; with no frontier early on, pin the oldest).
+        # the frontier; with no frontier early on, pin the oldest). Age by
+        # serial — slot ids recycle.
         if len(frontier) == 0 and len(local) > 0:
-            cam_fixed[cam_slot[min(local)]] = True
+            by_age = sorted(local, key=lambda k: mp.kf_serial[k])
+            cam_fixed[cam_slot[by_age[0]]] = True
             if self.cfg.sensor == Sensor.MONOCULAR and len(local) > 1:
                 # Pin scale gauge with a second fixed camera.
-                rest = sorted(local)
-                cam_fixed[cam_slot[rest[1]]] = True
+                cam_fixed[cam_slot[by_age[1]]] = True
 
         points = np.zeros((P, 3), np.float32)
         point_valid = np.zeros(P, bool)
@@ -771,9 +774,16 @@ class LocalMapping:
         mp = self.map
         culled = 0
         for k in mp.covisible_keyframes(kf, n=20, min_weight=1):
-            if k == 0 or k == kf or not mp.kf_valid[k] or culled >= 2:
+            if (
+                mp.kf_serial[k] == 0  # never cull the map origin
+                or k == kf
+                or not mp.kf_valid[k]
+                or culled >= 2
+            ):
                 continue
-            if kf - k < 3:  # keep the most recent window intact
+            # Keep the most recent window intact (serial, not slot:
+            # slots are recycled at capacity).
+            if mp.kf_serial[kf] - mp.kf_serial[k] < 3:
                 continue
             col = mp.kf_mp[k]
             feats = np.nonzero(col >= 0)[0]
@@ -803,47 +813,6 @@ class LocalMapping:
                 culled += 1
 
     def _erase_keyframe(self, k: int):
-        mp = self.map
-        col = mp.kf_mp[k]
-        for feat in np.nonzero(col >= 0)[0]:
-            mp.erase_observation(int(col[feat]), k)
-        # Record pose relative to the spanning parent for the trajectory
-        # recovery walk (reference: KeyFrame.cc:538 mTcp).
-        parent0 = mp.spanning_parent[k]
-        if parent0 >= 0:
-            Tp = mp.kf_pose[parent0]
-            Rp, tp = Tp[:, :3], Tp[:, 3]
-            Tp_inv = np.concatenate([Rp.T, (-Rp.T @ tp)[:, None]], axis=1)
-            mp.kf_Tcp[k] = (
-                np.vstack([mp.kf_pose[k], [0, 0, 0, 1.0]])[:3]
-                @ np.vstack([Tp_inv, [0, 0, 0, 1.0]])
-            ).astype(np.float32)
-        mp.kf_valid[k] = False
-        mp.covis[k, :] = 0
-        mp.covis[:, k] = 0
-        # Spanning-tree re-parenting by max covisibility (reference:
-        # KeyFrame.cc:480-535): children adopt, one at a time, the
-        # candidate parent (initially the culled KF's parent, then any
-        # already re-parented sibling) with the strongest covisibility
-        # edge — keeping the tree aligned with the covisibility structure
-        # for the trajectory-recovery walk.
-        parent = int(mp.spanning_parent[k])
-        children = set(np.nonzero(mp.spanning_parent == k)[0].tolist())
-        candidates = {parent} if parent >= 0 else set()
-        while children and candidates:
-            cand_list = sorted(candidates)
-            best_w, best_c, best_p = 0, -1, -1
-            for c in children:
-                w = mp.covis[c, cand_list]
-                j = int(np.argmax(w))
-                if w[j] > best_w:
-                    best_w, best_c, best_p = int(w[j]), c, cand_list[j]
-            if best_c < 0:
-                break
-            mp.spanning_parent[best_c] = best_p
-            children.remove(best_c)
-            candidates.add(best_c)
-        # Orphans with no covisibility to any candidate fall back to the
-        # culled KF's own parent (reference: KeyFrame.cc:527-531).
-        for c in children:
-            mp.spanning_parent[c] = parent
+        # Map surgery lives in MapState (erase_keyframe) so the capacity
+        # force-cull path can reuse it (slam_map/mapstate.py).
+        self.map.erase_keyframe(k)

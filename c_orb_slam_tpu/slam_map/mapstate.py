@@ -36,6 +36,12 @@ class MapState:
     kf_pose: np.ndarray = None  # (Nk, 3, 4) Tcw
     kf_valid: np.ndarray = None  # (Nk,)
     kf_frame_id: np.ndarray = None  # (Nk,) source frame id
+    # Monotonic insertion counter per slot: slot ids are REUSED after
+    # culling (the reference's map is bounded only by RAM because culled
+    # KeyFrames are deleted, KeyFrame.cc:453-545; here slots recycle), so
+    # any "is k newer than j" question must compare kf_serial, never slot.
+    kf_serial: np.ndarray = None  # (Nk,) int64
+    kf_timestamp: np.ndarray = None  # (Nk,) float64 dataset timestamp
     kf_xy: np.ndarray = None  # (Nk, Kp, 2) undistorted level-0 coords
     kf_octave: np.ndarray = None  # (Nk, Kp)
     kf_angle: np.ndarray = None  # (Nk, Kp)
@@ -68,6 +74,20 @@ class MapState:
     loop_edges: list = field(default_factory=list)  # [(kf_i, kf_j), ...]
 
     n_keyframes: int = 0
+    n_added_keyframes: int = 0  # monotonic; source of kf_serial
+    # Slots of recently added keyframes, appended by add_keyframe; the
+    # System drains this to route new KFs into the mapping pipeline
+    # (slot reuse makes "n_keyframes grew" an unreliable signal).
+    added_kfs: list = field(default_factory=list)
+    # Callback(k, Tcp_k, parent_k) fired just before a culled slot is
+    # recycled: the Tracking rewrites trajectory references through the
+    # stored relative pose (System.cc:361-366 walks these lazily; with
+    # slot reuse the walk must be folded eagerly).
+    on_slot_reuse: object = None
+    # Callback(k) fired when a keyframe is culled — LoopClosing evicts
+    # its place-recognition database row (the reference erases from
+    # KeyFrameDatabase in SetBadFlag, KeyFrame.cc:543).
+    on_kf_erased: object = None
     n_points: int = 0
     next_free_pt: int = 0
     # Monotonic version for "map changed" queries (reference:
@@ -88,6 +108,8 @@ class MapState:
         self.kf_pose = np.tile(np.eye(3, 4, dtype=f32), (Nk, 1, 1))
         self.kf_valid = np.zeros(Nk, bool)
         self.kf_frame_id = np.zeros(Nk, i64)
+        self.kf_serial = np.full(Nk, -1, i64)
+        self.kf_timestamp = np.zeros(Nk, np.float64)
         self.kf_xy = np.zeros((Nk, Kp, 2), f32)
         self.kf_octave = np.zeros((Nk, Kp), i32)
         self.kf_angle = np.zeros((Nk, Kp), f32)
@@ -139,10 +161,8 @@ class MapState:
     # --- keyframe ops ------------------------------------------------------
 
     def add_keyframe(self, frame_id, pose, xy, octave, angle, desc, kp_valid,
-                     ur=None, depth=None) -> int:
-        k = self.n_keyframes
-        if k >= self.kf_pose.shape[0]:
-            raise RuntimeError("keyframe capacity exceeded")
+                     ur=None, depth=None, timestamp: float = 0.0) -> int:
+        k = self._allocate_kf_slot()
         self.kf_pose[k] = pose
         self.kf_valid[k] = True
         self.kf_frame_id[k] = frame_id
@@ -156,11 +176,132 @@ class MapState:
             self.kf_ur[k, :n] = ur
         if depth is not None:
             self.kf_depth[k, :n] = depth
-        self.n_keyframes += 1
+        self.kf_serial[k] = self.n_added_keyframes
+        self.kf_timestamp[k] = timestamp
+        self.n_added_keyframes += 1
+        self.added_kfs.append(k)
         if self._device is not None:
             self._device.mark_kf_content(k)
             self._device.mark_kf_pose([k])
         return k
+
+    def _allocate_kf_slot(self) -> int:
+        """Next keyframe slot: monotonic while capacity lasts, then reuse
+        of culled slots, then force-culling the least-connected redundant
+        keyframe (the reference stays bounded because culling deletes
+        KeyFrames outright, LocalMapping.cc:632-696 + KeyFrame.cc:453; a
+        fixed-capacity slot array needs explicit recycling instead)."""
+        Nk = self.kf_pose.shape[0]
+        if self.n_keyframes < Nk:
+            k = self.n_keyframes
+            self.n_keyframes += 1
+            return k
+        free = np.nonzero(~self.kf_valid)[0]
+        if len(free) == 0:
+            self.erase_keyframe(self._force_cull_candidate())
+            free = np.nonzero(~self.kf_valid)[0]
+        k = int(free[0])
+        self._release_slot(k)
+        return k
+
+    def _force_cull_candidate(self) -> int:
+        """At hard capacity with no culled slot to recycle: sacrifice the
+        live keyframe with the weakest covisibility, protecting the map
+        origin and the newest window (graceful-degradation analog of the
+        reference's redundancy culling, LocalMapping.cc:693)."""
+        live = self.live_keyframes()
+        serial = self.kf_serial[live]
+        protect = set(live[np.argsort(serial)[-5:]].tolist())
+        protect.add(int(live[np.argmin(serial)]))
+        cand = [k for k in live if int(k) not in protect]
+        if not cand:
+            raise RuntimeError("keyframe capacity exceeded (all protected)")
+        weights = self.covis[cand].sum(axis=1)
+        return int(cand[int(np.argmin(weights))])
+
+    def _release_slot(self, k: int):
+        """Detach a culled keyframe's residual roles before its slot is
+        recycled: fold it out of culled spanning chains (so recover_pose
+        walks stay correct), notify the tracker to rewrite trajectory
+        references, and clear stale point back-references."""
+        Tcp_k = self.kf_Tcp[k].copy()
+        parent_k = int(self.spanning_parent[k])
+        # Culled keyframes whose recovery walk passes through k: compose
+        # k's relative pose into theirs and skip to k's parent.
+        chain = np.nonzero((self.spanning_parent == k) & ~self.kf_valid)[0]
+        for j in chain:
+            self.kf_Tcp[j] = (
+                np.vstack([self.kf_Tcp[j], [0, 0, 0, 1.0]])[:3]
+                @ np.vstack([Tcp_k, [0, 0, 0, 1.0]])
+            ).astype(np.float32)
+            self.spanning_parent[j] = parent_k
+        # Live keyframes never keep a culled parent (re-parented at cull),
+        # but guard anyway.
+        live_child = np.nonzero((self.spanning_parent == k) & self.kf_valid)[0]
+        self.spanning_parent[live_child] = parent_k
+        if self.on_slot_reuse is not None:
+            self.on_slot_reuse(k, Tcp_k, parent_k)
+        # Point back-references to the recycled slot.
+        self.pt_ref_kf[self.pt_ref_kf == k] = -1
+        self.pt_first_kf[self.pt_first_kf == k] = -1
+        stale = np.nonzero((self.pt_obs_kf == k).any(axis=1))[0]
+        for p in stale:
+            self.erase_observation(int(p), k)
+        self.kf_mp[k] = -1
+        self.spanning_parent[k] = -1
+        self.kf_Tcp[k] = np.eye(3, 4, dtype=np.float32)
+        self.kf_serial[k] = -1
+
+    def erase_keyframe(self, k: int):
+        """Cull keyframe k (reference: KeyFrame::SetBadFlag,
+        KeyFrame.cc:453-545): erase its observations, store the relative
+        pose to its spanning parent for trajectory recovery (mTcp,
+        KeyFrame.cc:538), and re-parent its children along covisibility."""
+        col = self.kf_mp[k]
+        for feat in np.nonzero(col >= 0)[0]:
+            self.erase_observation(int(col[feat]), k)
+        parent0 = self.spanning_parent[k]
+        if parent0 >= 0:
+            Tp = self.kf_pose[parent0]
+            Rp, tp = Tp[:, :3], Tp[:, 3]
+            Tp_inv = np.concatenate([Rp.T, (-Rp.T @ tp)[:, None]], axis=1)
+            self.kf_Tcp[k] = (
+                np.vstack([self.kf_pose[k], [0, 0, 0, 1.0]])[:3]
+                @ np.vstack([Tp_inv, [0, 0, 0, 1.0]])
+            ).astype(np.float32)
+        self.kf_valid[k] = False
+        self.covis[k, :] = 0
+        self.covis[:, k] = 0
+        if self.on_kf_erased is not None:
+            self.on_kf_erased(k)
+        # Spanning-tree re-parenting by max covisibility (reference:
+        # KeyFrame.cc:480-535): children adopt, one at a time, the
+        # candidate parent (initially the culled KF's parent, then any
+        # already re-parented sibling) with the strongest covisibility
+        # edge — keeping the tree aligned with the covisibility structure
+        # for the trajectory-recovery walk.
+        parent = int(self.spanning_parent[k])
+        children = set(
+            np.nonzero((self.spanning_parent == k) & self.kf_valid)[0].tolist()
+        )
+        candidates = {parent} if parent >= 0 else set()
+        while children and candidates:
+            cand_list = sorted(candidates)
+            best_w, best_c, best_p = 0, -1, -1
+            for c in children:
+                w = self.covis[c, cand_list]
+                j = int(np.argmax(w))
+                if w[j] > best_w:
+                    best_w, best_c, best_p = int(w[j]), c, cand_list[j]
+            if best_c < 0:
+                break
+            self.spanning_parent[best_c] = best_p
+            children.remove(best_c)
+            candidates.add(best_c)
+        # Orphans with no covisibility to any candidate fall back to the
+        # culled KF's own parent (reference: KeyFrame.cc:527-531).
+        for c in children:
+            self.spanning_parent[c] = parent
 
     def add_point(self, xyz, desc, ref_kf) -> int:
         return int(self.add_points_batch(

@@ -91,11 +91,6 @@ class System:
         self.tracker.mapper = self.local_mapping
         self.local_mapping.on_keyframe_done = self._on_mapping_done
         self.local_mapping.metrics = self.metrics
-        # The tracker calls this between dispatching its fused step and
-        # fetching the results: the mapping stage runs inside the tracking
-        # readback's ~23 ms d2h latency window (see utils/host.prefetch).
-        self.tracker.overlap_hook = self._overlap_mapping
-        self._mapping_ran_this_frame = False
 
     # ------------------------------------------------------------------
     def track_monocular(self, image, timestamp: float) -> Optional[np.ndarray]:
@@ -123,25 +118,10 @@ class System:
             prefetch(f)
         return self._track(f, timestamp)
 
-    def _overlap_mapping(self):
-        """Run the per-frame mapping stage inside the tracking readback's
-        d2h latency window (called by the tracker between dispatch and
-        fetch). The reference overlaps the same work via its LocalMapping
-        thread (LocalMapping.cc:47)."""
-        if self.localization_only or self._mapping_ran_this_frame:
-            return
-        self._mapping_ran_this_frame = True
-        with self.metrics.stage("mapping_stage"):
-            self.local_mapping.step()
-        if self.loop_closing is not None:
-            with self.metrics.stage("loop_stage"):
-                self.loop_closing.step()
-
     def _track(self, f, timestamp: float) -> Optional[np.ndarray]:
         t0 = time.perf_counter()
         self.timestamps.append(timestamp)
-        self._mapping_ran_this_frame = False
-        n_kf_before = self.map.n_keyframes
+        self.tracker.current_timestamp = timestamp
         with self.metrics.stage("tracking"):
             pose = self.tracker.track(f)
         if self.tracker.request_reset:
@@ -151,13 +131,16 @@ class System:
             self.metrics.count("auto_resets")
             self.reset()
             return None
-        made_kf = self.map.n_keyframes > n_kf_before
+        # New keyframes come from the map's insertion log (slot ids are
+        # recycled at capacity, so "n_keyframes grew" is not a signal).
+        new_kfs = self.map.added_kfs
+        self.map.added_kfs = []
+        made_kf = bool(new_kfs)
         if not self.localization_only:
             if made_kf:
-                self.metrics.count("keyframes_created",
-                                   self.map.n_keyframes - n_kf_before)
-                for k in range(n_kf_before, self.map.n_keyframes):
-                    if self.map.n_keyframes > 2:
+                self.metrics.count("keyframes_created", len(new_kfs))
+                for k in new_kfs:
+                    if self.map.n_added_keyframes > 2:
                         # Regular keyframe: enqueue for the mapping
                         # pipeline; LoopClosing is fed on completion.
                         self.local_mapping.insert_keyframe(k)
@@ -166,15 +149,16 @@ class System:
                         # reference's mapper ignores them too) — index
                         # them for place recognition directly.
                         self.loop_closing.process_keyframe(k)
-            # One mapping stage per tracked frame: the host-loop analog of
-            # the reference's concurrent LocalMapping thread (tracking
-            # proceeds against a map that lags by a few frames). Usually
-            # already run inside the tracking readback window (see
-            # _overlap_mapping); this is the fallback for frames that took
-            # a non-fused tracking path.
-            if not self._mapping_ran_this_frame:
-                with self.metrics.stage("mapping_stage"):
-                    self.local_mapping.step()
+            # One mapping stage per tracked frame, run while frame t's
+            # tracking step executes on device and its readback streams
+            # back (the tracker applies them at frame t+1) — the host-loop
+            # analog of the reference's concurrent LocalMapping thread
+            # (LocalMapping.cc:47).
+            with self.metrics.stage("mapping_stage"):
+                self.local_mapping.step()
+            if self.loop_closing is not None:
+                with self.metrics.stage("loop_stage"):
+                    self.loop_closing.step()
         self.metrics.end_frame(
             frame_id=self.tracker.frame_id,
             timestamp=timestamp,
@@ -229,8 +213,9 @@ class System:
         self.metrics.reset()
 
     def shutdown(self):
-        """Drain the mapping + loop pipelines (the reference joins its
-        threads, System.cc:301-320)."""
+        """Drain the tracking, mapping and loop pipelines (the reference
+        joins its threads, System.cc:301-320)."""
+        self.tracker.flush_pending()
         self.local_mapping.drain()
         if self.loop_closing is not None:
             self.loop_closing.drain()
@@ -252,6 +237,7 @@ class System:
         CURRENT map pose of each frame's reference keyframe (walking culled
         keyframes through the spanning tree) so loop/GBA corrections are
         reflected retroactively (reference: System.cc:345-380)."""
+        self.tracker.flush_pending()
         poses, stamps = [], []
         for (fid, T_cr, ref, state), t in zip(
             self.tracker.trajectory, self.timestamps
@@ -282,6 +268,7 @@ class System:
         mapping pipeline first so the snapshot is fully processed."""
         from c_orb_slam_tpu.io import checkpoint
 
+        self.tracker.flush_pending()
         self.local_mapping.drain()
         if self.loop_closing is not None:
             self.loop_closing.drain()
@@ -304,7 +291,9 @@ class System:
             for k in m.live_keyframes():
                 sysm.loop_closing._index_keyframe(int(k))
         live = m.live_keyframes()
-        sysm.tracker.ref_kf = int(live[-1]) if len(live) else -1
+        sysm.tracker.ref_kf = (
+            int(live[np.argmax(m.kf_serial[live])]) if len(live) else -1
+        )
         sysm.tracker.state = TrackState.LOST  # relocalize on first frame
         sysm.localization_only = localization_only
         sysm.tracker.only_tracking = localization_only
@@ -319,6 +308,11 @@ class System:
         traj_io.save_kitti(path, poses)
 
     def save_keyframe_trajectory_tum(self, path: str):
+        """Reference: System::SaveKeyFrameTrajectoryTUM (System.cc:383-417)
+        — keyframes in temporal order with their DATASET timestamps, so
+        the export is comparable against TUM ground-truth tooling."""
         live = self.map.live_keyframes()
-        stamps = [float(self.map.kf_frame_id[k]) for k in live]
+        order = np.argsort(self.map.kf_serial[live])
+        live = live[order]
+        stamps = [float(self.map.kf_timestamp[k]) for k in live]
         traj_io.save_tum(path, stamps, self.map.kf_pose[live])

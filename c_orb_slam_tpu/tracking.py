@@ -420,6 +420,7 @@ class Tracking:
         # Mono init state
         self._init_frame: Optional[frame_mod.FrameData] = None
         self._init_frame_id = -1
+        self._init_timestamp = 0.0
         self._rng = jax.random.PRNGKey(cfg.vocabulary.seed)
         # Per-frame trajectory log: (frame_id, T_cr (3,4) pose RELATIVE to
         # ref_kf, ref_kf, state). Storing relative poses means loop/GBA
@@ -432,6 +433,31 @@ class Tracking:
         # tools/profile_track_fine.py — kept in the real code path so the
         # profile can never go stale against a duplicated copy.
         self.stage_ms: dict = {}
+        # One-deep tracking pipeline: (frame, dispatch record) of the
+        # frame whose device step is in flight (see track()).
+        self._pending = None
+        # Dataset timestamp of the frame being tracked (System sets it);
+        # stored on created keyframes (reference: KeyFrame.mTimeStamp,
+        # written by SaveKeyFrameTrajectoryTUM, System.cc:383-417).
+        self.current_timestamp = 0.0
+        # Rewrite trajectory references when a culled keyframe's slot is
+        # recycled (see MapState._release_slot).
+        mapstate.on_slot_reuse = self._on_kf_slot_reuse
+
+    def _on_kf_slot_reuse(self, k: int, Tcp_k: np.ndarray, parent_k: int):
+        """A culled keyframe slot is being recycled: fold its stored
+        relative pose into every trajectory entry that references it and
+        re-point them at its spanning parent (eager version of the
+        reference's lazy mTcp walk, System.cc:361-366)."""
+        Tcp_h = np.vstack([Tcp_k, [0, 0, 0, 1.0]])
+        for i, (fid, T_cr, ref, state) in enumerate(self.trajectory):
+            if ref == k:
+                T_new = (
+                    np.vstack([T_cr, [0, 0, 0, 1.0]]) @ Tcp_h
+                )[:3].astype(np.float32)
+                self.trajectory[i] = (fid, T_new, parent_k, state)
+        if self.ref_kf == k:
+            self.ref_kf = parent_k
 
     def _mark(self, name: str, t0: float) -> float:
         t = time.perf_counter()
@@ -444,9 +470,23 @@ class Tracking:
         return k
 
     def track(self, f: frame_mod.FrameData) -> Optional[np.ndarray]:
-        """Process one frame; returns Tcw (3,4) numpy or None if lost."""
+        """Process one frame; returns the most recent resolved Tcw (3,4)
+        numpy pose, or None if lost.
+
+        Steady-state frames are PIPELINED one deep: the fused device step
+        for frame t is dispatched here, but its readback is applied at the
+        start of frame t+1's call — the d2h copy completes while the host
+        builds and dispatches the next frame, so the ~latency-bound fetch
+        never blocks. The returned pose therefore lags one frame in the
+        hot path (the reference's viewer tolerates the same lag from its
+        concurrent threads). flush_pending() forces completion (shutdown,
+        trajectory export).
+
+        Non-steady frames (initialization, loss, relocalization, VO-mode
+        localization) run synchronously — latency is irrelevant there.
+        """
+        self.apply_pending()
         self.frame_id += 1
-        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
 
         if self.state == TrackState.NOT_INITIALIZED:
             if self.cfg.sensor == Sensor.MONOCULAR:
@@ -456,15 +496,59 @@ class Tracking:
             self._log_frame()
             return self.last_pose
 
+        if (
+            self.state == TrackState.OK
+            and self.velocity is not None
+            and not (self.only_tracking and self._vo_mode)
+        ):
+            self._check_replaced_last()
+            disp = self._fused_dispatch(f)
+            if disp is not None:
+                self._pending = (f, disp, self.current_timestamp)
+                return self.last_pose
+
+        ok, pose, cur_mp = self._track_sync(f)
+        self._finalize(f, ok, pose, cur_mp)
+        return self.last_pose if ok else None
+
+    def apply_pending(self):
+        """Complete the previous frame's dispatched track step: fetch its
+        (already-landed) results, run the host bookkeeping, decide/create
+        its keyframe. Falls back to the synchronous slow paths when the
+        fused step failed."""
+        if self._pending is None:
+            return
+        f, disp, stamp = self._pending
+        self._pending = None
+        saved_stamp = self.current_timestamp
+        self.current_timestamp = stamp  # the pending frame's timestamp
+        ok, pose, cur_mp = self._fused_apply(f, disp)
+        if not ok:
+            ok, pose, cur_mp = self._track_reference_kf(f)
+            if self.state == TrackState.LOST or not ok:
+                ok, pose, cur_mp = self._relocalize(f)
+                if ok:
+                    self.last_reloc_frame_id = self.frame_id
+            if ok:
+                ok, pose, cur_mp = self._track_local_map(f, pose, cur_mp)
+        self._finalize(f, ok, pose, cur_mp)
+        self.current_timestamp = saved_stamp
+
+    flush_pending = apply_pending
+
+    def _track_sync(self, f: frame_mod.FrameData):
+        """Synchronous (same-frame) tracking: the non-pipelined paths."""
         ok = False
         fused_done = False
         pose = None
+        cur_mp = np.full(f.xy.shape[0], -1, np.int64)
         if self.state == TrackState.OK:
             self._check_replaced_last()
             if self.velocity is not None:
-                # Hot path: the whole frame in ONE dispatch + ONE readback.
-                ok, pose, cur_mp = self._track_fused(f)
-                fused_done = ok
+                disp = self._fused_dispatch(f)
+                if disp is not None:
+                    ok, pose, cur_mp = self._fused_apply(f, disp)
+                    fused_done = ok
             if not ok:
                 ok, pose, cur_mp = self._track_reference_kf(f)
         if ok and self.only_tracking and self._vo_mode:
@@ -482,7 +566,13 @@ class Tracking:
 
         if ok and not fused_done:
             ok, pose, cur_mp = self._track_local_map(f, pose, cur_mp)
+        return ok, pose, cur_mp
 
+    def _finalize(self, f, ok, pose, cur_mp):
+        """Post-tracking bookkeeping for one frame (motion model update,
+        keyframe decision, loss handling, trajectory log)."""
+        if cur_mp is None:
+            cur_mp = np.full(f.xy.shape[0], -1, np.int64)
         if ok:
             # Motion model: velocity = T_cur * T_last^-1, with the rotation
             # part damped (see TrackingConfig.velocity_rotation_fraction).
@@ -512,7 +602,6 @@ class Tracking:
         self.last_frame = f
         self.last_mp = cur_mp
         self._log_frame()
-        return self.last_pose if ok else None
 
     # ------------------------------------------------------------------
     def _log_frame(self):
@@ -552,6 +641,7 @@ class Tracking:
             if n_valid >= self.cfg.tracking.min_init_matches:
                 self._init_frame = f
                 self._init_frame_id = self.frame_id
+                self._init_timestamp = self.current_timestamp
             return
         if n_valid < self.cfg.tracking.min_init_matches:
             self._init_frame = None
@@ -608,10 +698,12 @@ class Tracking:
         k0 = mp.add_keyframe(
             self._init_frame_id, np.eye(3, 4, dtype=np.float32),
             f0h.xy, f0h.octave, f0h.angle, f0h.desc, f0h.valid,
+            timestamp=self._init_timestamp,
         )
         k1 = mp.add_keyframe(
             self.frame_id, T21,
             f1h.xy, f1h.octave, f1h.angle, f1h.desc, f1h.valid,
+            timestamp=self.current_timestamp,
         )
         cur_mp = np.full(f1h.xy.shape[0], -1, np.int64)
         gi = np.nonzero(good)[0]
@@ -712,6 +804,7 @@ class Tracking:
             self.frame_id, pose,
             fh.xy, fh.octave, fh.angle, fh.desc, fh.valid,
             ur=fh.ur, depth=fh.depth,
+            timestamp=self.current_timestamp,
         )
         Kc = np.asarray(self.K)
         xyz = np.stack(
@@ -814,20 +907,22 @@ class Tracking:
             )
         return self._vo_zeros
 
-    def _track_fused(self, f: frame_mod.FrameData):
-        """Steady-state hot path: motion-model + local-map tracking as ONE
-        device program with ONE readback (see _full_track_step). The local
-        point set comes from the previous frame's covisibility (one frame
-        stale — the reference's tracking likewise races its mapping
-        thread's map updates)."""
+    def _fused_dispatch(self, f: frame_mod.FrameData):
+        """Steady-state hot path, dispatch half: enqueue the whole frame's
+        tracking compute as ONE device program (see _full_track_step) and
+        start its readback. Returns the dispatch record for _fused_apply,
+        or None if the frame can't take the fused path. The local point
+        set comes from the previous frame's covisibility (one frame stale
+        — the reference's tracking likewise races its mapping thread's
+        map updates)."""
         t0 = time.perf_counter()
         last_has = self.last_mp >= 0
         if last_has.sum() < 10:
-            return False, None, None
+            return None
         local_kfs = self._local_keyframes(self.last_mp)
         local_pts = self._local_points(local_kfs)
         if len(local_pts) == 0:
-            return False, None, None
+            return None
         t0 = self._mark("select", t0)
         # Fixed capacity: ONE compiled program for the whole run (dynamic
         # bucketing was tried and recompile stalls at bucket transitions
@@ -870,16 +965,22 @@ class Tracking:
             self._sf_dev,
         )
         t0 = self._mark("dispatch", t0)
-        # Start the result copies immediately, then fill the d2h latency
-        # window (~23 ms flat on the tunneled chip) with useful host work:
-        # the mapping pipeline stage for pending keyframes runs HERE, via
-        # the hook System installs — the host-loop analog of the
-        # reference's concurrent mapping thread (LocalMapping.cc:47).
+        # Start the result copies now: they complete while the host moves
+        # on (mapping stages, next frame's build) — by apply time the
+        # fetch is a local memcpy, not a device round trip.
         prefetch(out)
-        hook = getattr(self, "overlap_hook", None)
-        if hook is not None:
-            hook()
-        t0 = self._mark("hook", t0)
+        t0 = self._mark("prefetch", t0)
+        # Record the last_mp snapshot: apply must translate match rows
+        # through the SAME index view the dispatch used, even if the map
+        # mutates in between.
+        return (out, pts_pad, safe, self.last_mp)
+
+    def _fused_apply(self, f: frame_mod.FrameData, disp):
+        """Steady-state hot path, apply half: one (prefetched) readback +
+        host bookkeeping. In the pipelined flow this runs at the START of
+        the NEXT frame's track() call."""
+        out, pts_pad, safe, last_mp = disp
+        t0 = time.perf_counter()
         (
             mm_ok, m1_idx, good_q,
             in_view, m2_idx, m2_valid,
@@ -890,13 +991,13 @@ class Tracking:
             return False, None, None
         self.map.pt_visible[safe[in_view]] += 1
         new_mp = np.full(f.xy.shape[0], -1, np.int64)
-        new_mp[m1_idx[good_q]] = self.last_mp[good_q]
+        new_mp[m1_idx[good_q]] = last_mp[good_q]
         new_mp[m2_idx[m2_valid]] = pts_pad[m2_valid]
-        # The overlap hook ran mapping mutations between this frame's
-        # dispatch and fetch: follow point forwarding and drop tombstones
-        # before recording associations (the in-frame analog of
-        # _check_replaced_last; the reference's per-object locks prevent
-        # this use-after-replace window, MapPoint.cc:177).
+        # Mapping stages ran between this frame's dispatch and apply:
+        # follow point forwarding and drop tombstones before recording
+        # associations (the pipelined analog of _check_replaced_last; the
+        # reference's per-object locks prevent this use-after-replace
+        # window, MapPoint.cc:177).
         new_mp = self.map.resolve(new_mp)
         dead = (new_mp >= 0) & ~self.map.pt_valid[np.maximum(new_mp, 0)]
         new_mp[dead] = -1
@@ -985,7 +1086,10 @@ class Tracking:
             f_desc, f_kp_valid = fetch(f.desc, f.valid)
             candidates = provider.reloc_candidates(f_desc, f_kp_valid)
         if not candidates:
-            candidates = live[-10:]  # fallback: most recent keyframes
+            # Fallback: most recent keyframes (by insertion serial — slot
+            # ids recycle at capacity).
+            order = np.argsort(self.map.kf_serial[live])
+            candidates = live[order[-10:]]
         # Dispatch every candidate's match, then read all counts + results
         # down in ONE batched transfer (the reference iterates candidates
         # with early exits, Tracking.cc:1370-1439; latency dominates here).
@@ -1252,6 +1356,7 @@ class Tracking:
             self.frame_id, self.last_pose,
             fh.xy, fh.octave, fh.angle, fh.desc, fh.valid,
             ur=fh.ur, depth=fh.depth,
+            timestamp=self.current_timestamp,
         )
         has = np.nonzero(cur_mp >= 0)[0]
         # Dedupe (first feature wins if a point matched twice) then one
