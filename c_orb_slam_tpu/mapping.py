@@ -632,21 +632,38 @@ class LocalMapping:
             pts = pts[mp.pt_valid[pts]]
         pts = pts[: cap.local_ba_max_points]
 
-        # Fixed frontier: keyframes observing local points but not local.
-        frontier = set()
-        for p in pts:
-            n = mp.pt_n_obs[p]
-            for k in mp.pt_obs_kf[p, :n]:
-                if k >= 0 and int(k) not in local_set:
-                    frontier.add(int(k))
+        # Fixed frontier: keyframes observing local points but not local
+        # (vectorized — the per-point Python walk cost O(points) host ms).
+        if len(pts):
+            okf = mp.pt_obs_kf[pts]  # (Pl, Mo)
+            is_local = np.zeros(mp.kf_pose.shape[0] + 1, bool)
+            is_local[list(local_set)] = True
+            seen = okf[(okf >= 0) & ~is_local[okf]]
+            frontier = np.unique(seen).tolist()
+        else:
+            frontier = []
         cams = local + sorted(frontier)
         cams = cams[: cap.local_ba_max_kfs * 2]
         cam_slot = {k: i for i, k in enumerate(cams)}
-        # Fixed problem capacities: one compiled solver per config (dynamic
-        # bucketing was tried; recompiles at bucket transitions dominate).
-        C = cap.local_ba_max_kfs * 2
-        P = cap.local_ba_max_points
-        O = cap.local_ba_max_obs
+        # Problem capacities: TWO size buckets (small / full). The solver
+        # is compiled once per bucket; early maps fit the small bucket
+        # where one LM iteration is ~7x cheaper than at full padding
+        # (measured: 134 ms -> 40 ms for the whole 15-iteration solve).
+        # More buckets were tried round 1 and the mid-run recompiles
+        # dominated; with exactly two (plus the persistent compilation
+        # cache) the transition costs one compile per process lifetime.
+        n_obs_est = int(np.count_nonzero(mp.pt_obs_kf[pts] >= 0)) if len(pts) else 0
+        small = (
+            len(cams) <= 16
+            and len(pts) <= 2048
+            and n_obs_est <= 4096
+        )
+        if small:
+            C, P, O = 16, 2048, 4096
+        else:
+            C = cap.local_ba_max_kfs * 2
+            P = cap.local_ba_max_points
+            O = cap.local_ba_max_obs
 
         cam_T = np.tile(np.eye(3, 4, dtype=np.float32), (C, 1, 1))
         cam_fixed = np.ones(C, bool)

@@ -56,17 +56,13 @@ def _arc_mask_any(bits: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def fast_response(
-    image: jnp.ndarray, threshold: float
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Segment test + score for every pixel.
+def _segment_test(diff: jnp.ndarray, threshold: float):
+    """Corner mask + score from a precomputed circle-difference stack.
 
-    Returns (corner (H,W) bool, score (H,W) float32). The score is the
-    sum of |circle - center| excess over threshold on the dominant side —
-    the same ranking OpenCV's FAST NMS uses up to normalization.
-    """
-    circle = _circle_stack(image)  # (16, H, W)
-    diff = circle - image[None, :, :]
+    diff: (16, H, W). Returns (corner (H,W) bool, score (H,W) float32).
+    The score is the sum of |circle - center| excess over threshold on the
+    dominant side — the same ranking OpenCV's FAST NMS uses up to
+    normalization."""
     brighter = diff > threshold
     darker = diff < -threshold
 
@@ -79,10 +75,20 @@ def fast_response(
     )
     corner = _arc_mask_any(bright_bits) | _arc_mask_any(dark_bits)
 
-    score_b = jnp.sum(jnp.where(brighter, diff - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.where(darker, -diff - threshold, 0.0), axis=0)
+    df = diff.astype(jnp.float32)
+    score_b = jnp.sum(jnp.where(brighter, df - threshold, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(darker, -df - threshold, 0.0), axis=0)
     score = jnp.maximum(score_b, score_d)
     return corner, jnp.where(corner, score, 0.0)
+
+
+def fast_response(
+    image: jnp.ndarray, threshold: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Segment test + score for every pixel (single-threshold entry)."""
+    circle = _circle_stack(image)  # (16, H, W)
+    diff = circle - image[None, :, :]
+    return _segment_test(diff, threshold)
 
 
 def _cell_any(mask: jnp.ndarray, cell: int) -> jnp.ndarray:
@@ -118,8 +124,14 @@ def detect(
     with at least one high-threshold corner keep only those; empty cells
     fall back to the low threshold.
     """
-    corner_hi, score_hi = fast_response(image, ini_threshold)
-    corner_lo, score_lo = fast_response(image, min_threshold)
+    # ONE circle-difference stack shared by both threshold passes, held in
+    # bfloat16: pixel values are 0..255 integers, so differences up to
+    # ±255 are exact in bf16 (8-bit mantissa) and the (16, H, W) stack —
+    # the bandwidth hot spot of the whole detector — moves at half cost.
+    circle = _circle_stack(image.astype(jnp.bfloat16))
+    diff = circle - image.astype(jnp.bfloat16)[None, :, :]
+    corner_hi, score_hi = _segment_test(diff, ini_threshold)
+    corner_lo, score_lo = _segment_test(diff, min_threshold)
     has_hi = _cell_any(corner_hi, cell)
     score = jnp.where(has_hi, score_hi, score_lo)
 
