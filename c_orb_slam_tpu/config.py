@@ -154,6 +154,14 @@ class TrackingConfig:
     # Stereo keyframe: create up to this many closest new points
     # (reference: Tracking.cc:1123).
     max_new_stereo_points: int = 100
+    # Steady-state tracking pipeline depth: frame t's device step is
+    # applied at frame t+depth (sooner when its readback lands early —
+    # track() drains opportunistically). The device pose chain keeps the
+    # constant-velocity prediction at 1-frame lag regardless of depth, so
+    # depth only delays host bookkeeping (keyframe decisions, map
+    # updates). 3 covers the ~35-65 ms dispatch->host-visible result
+    # latency of a remote-attached chip at ~10-15 ms host work per frame.
+    pipeline_depth: int = 3
 
 
 @dataclass(frozen=True)

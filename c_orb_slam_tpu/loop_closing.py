@@ -32,7 +32,7 @@ from c_orb_slam_tpu.bow.database import (
     KeyFrameDatabase, SparseBow, aggregate_bow, aggregate_bow_dev, _set_row,
 )
 from c_orb_slam_tpu.config import SlamConfig, Sensor
-from c_orb_slam_tpu.utils.host import fetch, prefetch
+from c_orb_slam_tpu.utils.host import fetch, fetch_async, prefetch
 from c_orb_slam_tpu.geometry import camera, se3, sim3
 from c_orb_slam_tpu.ops import match, sim3solve
 from c_orb_slam_tpu.optim import ba as ba_mod
@@ -170,24 +170,34 @@ class LoopClosing:
             return False
         if kf in self._pending:
             self._pending.remove(kf)
-        closed = self.step()
+        # Force-apply any previous detection first: _dispatch overwrites
+        # the pending slot.
+        closed = self.step(force=True)
         self._dispatch(kf)
         return closed
 
-    def step(self) -> bool:
+    def step(self, force: bool = False) -> bool:
         """Apply the pending detection, if any (called once per frame by
-        System inside the tracking readback window)."""
+        System inside the tracking readback window). Defers (bounded)
+        while the scoring readback is still in flight so the frame loop
+        never blocks on loop-rate work."""
         pd = self._pending_detect
         if pd is None:
             return False
+        if not force and not pd[-1].done():
+            w_ = getattr(self, "_step_waits", 0)
+            if w_ < 5:
+                self._step_waits = w_ + 1
+                return False
+        self._step_waits = 0
         self._pending_detect = None
-        kf, connected, node, w, wt, score_d, nsh_d = pd
+        kf, connected, node, w, wt, fut = pd
         # Index AFTER scoring (the query must not match itself; the
         # reference adds to the inverted file after DetectLoop,
         # LoopClosing.cc:85,228).
         self.kf_node_dev = _set_row(self.kf_node_dev, jnp.int32(kf), node)
         self.db.add_dev(kf, w, wt)
-        score, n_shared = fetch(score_d, nsh_d)
+        score, n_shared = fut.result()
         candidates = self._detect_from(kf, connected, score, n_shared)
         if not candidates:
             return False
@@ -204,7 +214,7 @@ class LoopClosing:
         return True
 
     def drain(self):
-        return self.step()
+        return self.step(force=True)
 
     def _dispatch(self, kf: int):
         self._ensure_db()
@@ -213,8 +223,8 @@ class LoopClosing:
         # Score ALL keyframes (the covisible scores define minScore); the
         # covisible set is excluded from candidacy at apply time.
         score, n_shared = self.db.scores_dev(w, wt)
-        prefetch(score, n_shared)
-        self._pending_detect = (kf, connected, fb.node, w, wt, score, n_shared)
+        fut = fetch_async(score, n_shared)
+        self._pending_detect = (kf, connected, fb.node, w, wt, fut)
 
     # ------------------------------------------------------------------
     def _detect_from(

@@ -17,6 +17,7 @@ implicit-Schur PCG solver.
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +28,7 @@ from c_orb_slam_tpu.geometry import camera, se3, triangulate
 from c_orb_slam_tpu.ops import match
 from c_orb_slam_tpu.optim import ba
 from c_orb_slam_tpu.slam_map.mapstate import MapState
-from c_orb_slam_tpu.utils.host import fetch, prefetch
+from c_orb_slam_tpu.utils.host import fetch, fetch_async, prefetch
 
 import os
 
@@ -37,6 +38,15 @@ _DEBUG = bool(os.environ.get("SLAM_DEBUG"))
 def _dbg(*args):
     if _DEBUG:
         print("[map]", *args)
+
+
+# Sentinel: a pipelined apply stage whose device result has not landed yet
+# asks the scheduler to retry next frame instead of blocking the frame loop.
+NOT_READY = object()
+
+# How many frames an apply stage may defer before it blocks anyway (bounds
+# pipeline latency under device backlog).
+_MAX_WAITS = 3
 
 
 def _fundamental_from_poses(T1, T2, K):
@@ -101,7 +111,11 @@ def _triangulate_pairs_batch(
         desc2 = KF_desc[k2]
         F12 = _fundamental_from_poses(T1, T2, K)
         emask = match.epipolar_mask(F12, xy1, xy2, sigma2, oct2)
-        oct_ok = jnp.abs(oct1[:, None] - oct2[None, :]) <= 1
+        # Octave agreement +-2 (reference implies +-1 via GetFeaturesInArea
+        # level bounds): measured on synthetic texture the same corner
+        # fires 1-3 levels apart between views; the tight gate starved
+        # triangulation and the map frontier thinned until tracking died.
+        oct_ok = jnp.abs(oct1[:, None] - oct2[None, :]) <= 2
         m = match.match(
             desc1, desc2, free1 & pv, free2,
             pair_mask=emask & oct_ok,
@@ -203,12 +217,15 @@ def _fuse_pairs_batch(
             log_scale=float(np.log(cfg.orb.scale_factor)),
             n_levels=cfg.orb.n_levels,
         )
-        radii = 3.0 * sf[octave]
+        # Radius 4 (reference 3, ORBmatcher.cc:848) and octave gate
+        # [-3, +2] (reference [-1, +1]): same scale-prediction spread as
+        # the tracking projection search — see _local_map_step.
+        radii = 4.0 * sf[octave]
         m = match.search_by_projection(
             uv, radii, pdesc, in_view,
             xy, octv, desc, kp_valid,
-            jnp.maximum(octave - 1, 0),
-            jnp.minimum(octave + 1, cfg.orb.n_levels - 1),
+            jnp.maximum(octave - 3, 0),
+            jnp.minimum(octave + 2, cfg.orb.n_levels - 1),
             max_dist=cfg.matcher.th_low,
             nn_ratio=1.0,
         )
@@ -264,18 +281,21 @@ class LocalMapping:
     def queue_len(self) -> int:
         return len(self.queue) + (1 if self._stages else 0)
 
-    def step(self, max_stages: int = 1):
-        """Run up to `max_stages` mapping stages. Called once per tracked
-        frame: mapping proceeds at keyframe rate while tracking continues —
-        the host-loop equivalent of the reference's mapping thread.
+    def step(self, budget_ms: float = 6.0):
+        """Run mapping stages under a wall-clock budget. Called once per
+        tracked frame: mapping proceeds at keyframe rate while tracking
+        continues — the host-loop equivalent of the reference's mapping
+        thread.
 
-        Under backlog (more keyframes queued behind the one in flight) the
-        budget raises itself so pipeline latency doesn't compound — the
-        reference's mapper similarly catches up by skipping its idle sleep
-        (LocalMapping.cc:105)."""
-        if self.queue:
-            max_stages += 2
-        for _ in range(max_stages):
+        Dispatch halves cost ~1 ms (async) and apply halves defer via
+        NOT_READY until their background readback lands, so several stages
+        usually fit one budget and a keyframe clears the pipeline in 2-3
+        frames. (The earlier one-stage-per-frame schedule kept the mapper
+        'busy' for ~10 frames per keyframe, which suppressed the c1b
+        keyframe condition until tracking was nearly starved —
+        keyframes arrived reactively instead of proactively.)"""
+        t_start = time.perf_counter()
+        while True:
             if not self._stages:
                 if not self.queue:
                     return
@@ -289,19 +309,26 @@ class LocalMapping:
                 self._stages = [
                     ("cull_pts", lambda k=kf: self._cull_recent_points(k)),
                     ("tri_dispatch", lambda k=kf: self._triangulate_dispatch(k)),
-                    ("tri_apply", lambda k=kf: self._triangulate_apply()),
+                    ("tri_apply", lambda: self._triangulate_apply(defer_ok=True)),
                     ("fuse_dispatch", lambda k=kf: self._fuse_dispatch(k)),
-                    ("fuse_apply", lambda k=kf: self._fuse_apply()),
+                    ("fuse_apply", lambda: self._fuse_apply(defer_ok=True)),
                     ("ba_dispatch", lambda k=kf: self._ba_dispatch_if_ready(k)),
-                    ("ba_apply", lambda k=kf: self._ba_apply()),
+                    ("ba_apply", lambda: self._ba_apply(defer_ok=True)),
                     ("finish_kf", lambda k=kf: self._finish_keyframe(k)),
                 ]
-            name, fn = self._stages.pop(0)
+            name, fn = self._stages[0]
             if self.metrics is not None:
                 with self.metrics.stage("map." + name):
-                    fn()
+                    r = fn()
             else:
-                fn()
+                r = fn()
+            if r is NOT_READY:
+                # Result not landed yet: leave the stage queued and give
+                # the frame loop its slot back (bounded by _MAX_WAITS).
+                return
+            self._stages.pop(0)
+            if (time.perf_counter() - t_start) * 1000.0 > budget_ms:
+                return
 
     def drain(self):
         """Run the pipeline to empty (shutdown/reset/loop-closing barrier —
@@ -427,16 +454,23 @@ class LocalMapping:
             self.K,
             self._sigma2_dev,
         )
-        prefetch(result)  # readback completes during the next tracked frame
-        self._pending_tri = (k1, ks, k2s, pair_valid, result)
+        fut = fetch_async(*result)  # lands during the next tracked frame
+        self._pending_tri = (k1, ks, k2s, pair_valid, fut)
 
-    def _triangulate_apply(self):
+    def _triangulate_apply(self, defer_ok: bool = False):
         if getattr(self, "_pending_tri", None) is None:
             return
-        k1, ks, k2s, pair_valid, result = self._pending_tri
+        fut = self._pending_tri[-1]
+        if defer_ok and not fut.done():
+            w = getattr(self, "_tri_waits", 0)
+            if w < _MAX_WAITS:
+                self._tri_waits = w + 1
+                return NOT_READY
+        self._tri_waits = 0
+        k1, ks, k2s, pair_valid, fut = self._pending_tri
         self._pending_tri = None
         mp = self.map
-        src1, idx2, good, xw = fetch(*result)  # (P,K) (P,K) (P,K) (P,K,3)
+        src1, idx2, good, xw = fut.result()  # (P,K) (P,K) (P,K) (P,K,3)
         # Vectorized insertion (the reference creates MapPoints one at a
         # time in the neighbor loop, LocalMapping.cc:286-449; a Python loop
         # here cost ~300 ms/keyframe at map scale).
@@ -561,16 +595,23 @@ class LocalMapping:
             self.K,
             self._sf_dev,
         )
-        prefetch(result)  # readback completes during the next tracked frame
-        self._pending_fuse = (kf, live_pairs, pts_arr, n_real, result)
+        fut = fetch_async(*result)  # lands during the next tracked frame
+        self._pending_fuse = (kf, live_pairs, pts_arr, n_real, fut)
 
-    def _fuse_apply(self):
+    def _fuse_apply(self, defer_ok: bool = False):
         if getattr(self, "_pending_fuse", None) is None:
             return
-        kf, live_pairs, pts_arr, n_real, result = self._pending_fuse
+        fut = self._pending_fuse[-1]
+        if defer_ok and not fut.done():
+            w = getattr(self, "_fuse_waits", 0)
+            if w < _MAX_WAITS:
+                self._fuse_waits = w + 1
+                return NOT_READY
+        self._fuse_waits = 0
+        kf, live_pairs, pts_arr, n_real, fut = self._pending_fuse
         self._pending_fuse = None
         mp = self.map
-        src_rows, m_idx, m_valid = fetch(*result)
+        src_rows, m_idx, m_valid = fut.result()
         for pi in range(n_real):
             _, dst = live_pairs[pi]
             pts = pts_arr[pi]
@@ -746,22 +787,27 @@ class LocalMapping:
             pcg_iters=self.cfg.optimizer.pcg_iters,
             schur="dense",  # local window: direct MXU Schur solve
         )
-        prefetch(result.cam_T, result.points, result.obs_inlier)
+        fut = fetch_async(result.cam_T, result.points, result.obs_inlier)
         self._pending_ba = (
             cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
-            result,
+            fut,
         )
 
-    def _ba_apply(self):
+    def _ba_apply(self, defer_ok: bool = False):
         if getattr(self, "_pending_ba", None) is None:
             return
+        fut = self._pending_ba[-1]
+        if defer_ok and not fut.done():
+            w = getattr(self, "_ba_waits", 0)
+            if w < _MAX_WAITS:
+                self._ba_waits = w + 1
+                return NOT_READY
+        self._ba_waits = 0
         (cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
-         result) = self._pending_ba
+         fut) = self._pending_ba
         self._pending_ba = None
         mp = self.map
-        new_T, new_pts, inlier = fetch(
-            result.cam_T, result.points, result.obs_inlier
-        )
+        new_T, new_pts, inlier = fut.result()
         _dbg(
             f"localBA: cams={len(cam_slot)} pts={len(pts)} obs={n_obs}"
             f" inliers={int(inlier.sum())}"

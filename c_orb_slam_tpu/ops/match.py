@@ -48,18 +48,34 @@ def match(
     max_dist: int = 100,
     nn_ratio: float = 1.0,
     unique_targets: bool = True,
+    ratio_octave_t: jnp.ndarray | None = None,
 ) -> Matches:
     """Best-match per query with distance threshold + NN-ratio test.
 
     unique_targets resolves target collisions by keeping the lowest
     distance (the reference achieves this with overwrite-if-better loops,
     e.g. ORBmatcher.cc:1445-1459).
+
+    ratio_octave_t: when given (target octaves), the NN-ratio test only
+    rejects when best and second-best lie in the SAME octave — the
+    reference's projection search does exactly this
+    (ORBmatcher.cc:115-121): a runner-up at another scale is usually the
+    same physical corner in a different pyramid level, not an ambiguity.
     """
     d = hamming.masked_distance_matrix(desc_q, desc_t, valid_q, valid_t, pair_mask)
     best, idx, second = hamming.best_two(d, axis=1)
     ok = best <= max_dist
     if nn_ratio < 1.0:
-        ok = ok & (best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32))
+        ratio_fail = ~(
+            best.astype(jnp.float32) < nn_ratio * second.astype(jnp.float32)
+        )
+        if ratio_octave_t is not None:
+            t = jnp.arange(d.shape[1], dtype=jnp.int32)
+            d2 = jnp.where(t[None, :] == idx[:, None], jnp.int32(1 << 20), d)
+            idx2 = jnp.argmin(d2, axis=1).astype(jnp.int32)
+            same_oct = ratio_octave_t[idx] == ratio_octave_t[idx2]
+            ratio_fail = ratio_fail & same_oct
+        ok = ok & ~ratio_fail
     if unique_targets:
         ok = ok & _is_target_winner(idx, best, ok, d.shape[1])
     return Matches(idx=idx, dist=best, valid=ok)
@@ -198,6 +214,7 @@ def search_by_projection(
         pair_mask=mask,
         max_dist=max_dist,
         nn_ratio=nn_ratio,
+        ratio_octave_t=octave_t,
     )
 
 

@@ -52,7 +52,19 @@ def gather_patches(
 def ic_angle(
     image: jnp.ndarray, yx: jnp.ndarray, half_patch: int = 15
 ) -> jnp.ndarray:
-    """Orientation in radians for keypoints at integer coords yx (N, 2)."""
+    """Orientation in radians for keypoints at integer coords yx (N, 2).
+
+    Weak-moment gate (beyond the reference): on (near-)rotationally
+    symmetric patches the intensity centroid sits at the patch center and
+    atan2(m01, m10) is pure noise — each view of the same point then gets
+    a random angle, the rotated BRIEF decorrelates, and true
+    correspondences measure near-random Hamming distance (observed:
+    median 93/256 on radially symmetric synthetic texture, angle error
+    ~90 deg). When the centroid offset is below a small fraction of the
+    patch radius, snap the angle to 0: the patch carries no orientation
+    signal, so a deterministic angle makes its descriptor reproducible
+    across views (rotation invariance is lost only where it was never
+    measurable)."""
     patches = gather_patches(image, yx, half_patch)  # (N, P, P)
     mask = jnp.asarray(circular_mask(half_patch))
     coords = jnp.arange(-half_patch, half_patch + 1, dtype=jnp.float32)
@@ -60,4 +72,9 @@ def ic_angle(
     wy = mask * coords[:, None]  # y-moment weights
     m10 = jnp.sum(patches * wx[None], axis=(1, 2))
     m01 = jnp.sum(patches * wy[None], axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    m00 = jnp.sum(patches * mask[None], axis=(1, 2))
+    centroid_offset = jnp.sqrt(m10 * m10 + m01 * m01) / jnp.maximum(
+        m00 * half_patch, 1e-6
+    )
+    strong = centroid_offset > 0.02
+    return jnp.where(strong, jnp.arctan2(m01, m10), 0.0)

@@ -193,6 +193,9 @@ class System:
             self.tracker.last_pose = (
                 T_corr @ _np.vstack([self.tracker.last_pose, [0, 0, 0, 1.0]])
             ).astype(_np.float32)
+        # The device pose chain predates the correction: break it so the
+        # next dispatch re-seeds from the corrected host pose.
+        self.tracker._chain = None
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):

@@ -14,6 +14,7 @@ motion-only GN. The host keeps only index bookkeeping; there are no locks
 
 from __future__ import annotations
 
+import collections
 import functools
 import time
 from typing import Optional
@@ -28,7 +29,7 @@ from c_orb_slam_tpu.geometry import camera, np_se3, se3
 from c_orb_slam_tpu.ops import hamming, match, pnp, twoview
 from c_orb_slam_tpu.optim import pose_opt
 from c_orb_slam_tpu.slam_map.mapstate import MapState
-from c_orb_slam_tpu.utils.host import fetch, prefetch
+from c_orb_slam_tpu.utils.host import fetch, fetch_async, prefetch
 
 import os
 
@@ -194,12 +195,12 @@ def _local_map_step(
         n_levels=cfg.orb.n_levels,
     )
     if radius_override is None:
-        r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+        r = jnp.where(view_cos > 0.998, 4.0, 6.0)
     else:
         r = jnp.full_like(view_cos, radius_override)
     radii = r * sf[octave]
-    lo = jnp.maximum(octave - 2, 0)
-    hi = jnp.minimum(octave + 1, cfg.orb.n_levels - 1)
+    lo = jnp.maximum(octave - 3, 0)
+    hi = jnp.minimum(octave + 2, cfg.orb.n_levels - 1)
     free_t = f.valid & ~seed_valid
     m = match.search_by_projection(
         uv, radii, pt_desc, in_view & pt_fresh,
@@ -243,7 +244,7 @@ def _local_map_step(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_mult"))
 def _full_track_step(
     cfg: SlamConfig,
     T_pred: jnp.ndarray,
@@ -263,6 +264,7 @@ def _full_track_step(
     K: jnp.ndarray,
     inv_sigma2_levels: jnp.ndarray,
     sf: jnp.ndarray,
+    radius_mult: float = 1.0,
 ):
     """The ENTIRE per-frame tracking compute as one program / one readback:
     motion-model projection matching -> pose GN -> frustum cull of the
@@ -302,7 +304,9 @@ def _full_track_step(
     xc = se3.apply(T_pred, q_xyz)
     uv = camera.project(xc, K)
     z_ok = xc[:, 2] > 0
-    radii = 15.0 * sf[q_octave]
+    # radius_mult widens the window with the pipeline's prediction lag
+    # (the reference widens 2x on a failed first pass, Tracking.cc:888).
+    radii = 15.0 * radius_mult * sf[q_octave]
     lo = jnp.maximum(q_octave - 1, 0)
     hi = jnp.minimum(q_octave + 1, cfg.orb.n_levels - 1)
     m1 = match.search_by_projection(
@@ -349,10 +353,15 @@ def _full_track_step(
     already = matched_ids[jnp.minimum(pos, n_q - 1)] == pt_ids
     fresh = pt_valid & ~already
 
-    r = jnp.where(view_cos > 0.998, 2.5, 4.0)
+    # Radius 4/6 px (reference: 2.5/4, ORBmatcher.cc:131-137) and octave
+    # gate [-3, +2] (reference: [-1, 0]): PredictScale assumes a corner
+    # fires at ONE scale per distance; measured on synthetic texture the
+    # true keypoint's octave spreads +-3 levels around the prediction and
+    # the tight gate rejected ~40% of geometrically correct candidates.
+    r = jnp.where(view_cos > 0.998, 4.0, 6.0)
     radii2 = r * sf[octave2]
-    lo2 = jnp.maximum(octave2 - 2, 0)
-    hi2 = jnp.minimum(octave2 + 1, cfg.orb.n_levels - 1)
+    lo2 = jnp.maximum(octave2 - 3, 0)
+    hi2 = jnp.minimum(octave2 + 2, cfg.orb.n_levels - 1)
     free_t = f.valid & ~seed_valid
     m2 = match.search_by_projection(
         uv2, radii2, pt_desc, in_view & fresh,
@@ -382,11 +391,37 @@ def _full_track_step(
         chi2_mono=cfg.optimizer.chi2_mono,
         chi2_stereo=cfg.optimizer.chi2_stereo,
     )
+    # Device-chained pose: the next frame's dispatch reads this WITHOUT a
+    # host round trip (see _fused_dispatch), so the constant-velocity
+    # prediction always has 1-frame lag no matter how deep the host
+    # readback pipeline runs. Guarded: on a failed step it falls back to
+    # the propagated prediction instead of a divergent pose estimate.
+    chain_ok = mm_ok & (r2.n_inliers >= cfg.tracking.min_inliers_pose)
+    chain_pose = jnp.where(chain_ok, r2.pose, pose1)
     return (
         mm_ok, m1.idx, good_q,
         in_view, m2.idx, m2.valid,
         r2.pose, r2.inliers, r2.n_inliers,
-    )
+    ), chain_pose
+
+
+@functools.partial(jax.jit, static_argnames=("frac",))
+def _chain_predict(T_prev: jnp.ndarray, T_prev2: jnp.ndarray, frac: float):
+    """Constant-velocity prediction from the two most recent DEVICE poses
+    of the chained tracking recursion — no host round trip. frac scales
+    the rotation part like the host path (TrackingConfig
+    .velocity_rotation_fraction; 0 = translation-only prediction)."""
+    from c_orb_slam_tpu.geometry import so3
+
+    vel = se3.compose(T_prev, se3.inverse(T_prev2))
+    if frac == 0.0:
+        R = jnp.eye(3, dtype=T_prev.dtype)
+    elif frac == 1.0:
+        R = se3.rotation(vel)
+    else:
+        R = so3.exp(so3.log(se3.rotation(vel)) * frac)
+    vel_d = jnp.concatenate([R, se3.translation(vel)[:, None]], axis=1)
+    return se3.compose(vel_d, T_prev)
 
 
 class Tracking:
@@ -433,9 +468,17 @@ class Tracking:
         # tools/profile_track_fine.py — kept in the real code path so the
         # profile can never go stale against a duplicated copy.
         self.stage_ms: dict = {}
-        # One-deep tracking pipeline: (frame, dispatch record) of the
-        # frame whose device step is in flight (see track()).
-        self._pending = None
+        # Tracking pipeline: deque of (frame, dispatch record, timestamp)
+        # for frames whose device step is in flight (see track()). Depth 2
+        # hides the full dispatch->host-visible latency of a
+        # remote-attached chip (~35-65 ms measured, vs ~5-20 ms of host
+        # work per frame — one frame of overlap was not enough).
+        self._pending = collections.deque()
+        self.pipeline_depth = cfg.tracking.pipeline_depth
+        # Device pose chain (chain_pose_t, pose_{t-1}) of the most recent
+        # dispatch; None whenever the last pose did not come from the
+        # steady fused path (recovery, sync fallback, loop correction).
+        self._chain = None
         # Dataset timestamp of the frame being tracked (System sets it);
         # stored on created keyframes (reference: KeyFrame.mTimeStamp,
         # written by SaveKeyFrameTrajectoryTUM, System.cc:383-417).
@@ -473,22 +516,44 @@ class Tracking:
         """Process one frame; returns the most recent resolved Tcw (3,4)
         numpy pose, or None if lost.
 
-        Steady-state frames are PIPELINED one deep: the fused device step
-        for frame t is dispatched here, but its readback is applied at the
-        start of frame t+1's call — the d2h copy completes while the host
-        builds and dispatches the next frame, so the ~latency-bound fetch
-        never blocks. The returned pose therefore lags one frame in the
-        hot path (the reference's viewer tolerates the same lag from its
-        concurrent threads). flush_pending() forces completion (shutdown,
-        trajectory export).
+        Steady-state frames are PIPELINED `pipeline_depth` deep: the fused
+        device step for frame t is dispatched here, but its readback is
+        applied `depth` frames later — the background worker's blocking
+        d2h completes while the host builds and dispatches the following
+        frames, so the latency-bound fetch rarely blocks. (One frame of
+        overlap is not enough: dispatch->host-visible latency on a
+        remote-attached chip measured 35-65 ms vs 5-20 ms of host work per
+        frame.) The returned pose lags `depth` frames in the hot path (the
+        reference's viewer tolerates similar lag from its concurrent
+        threads). flush_pending() forces completion (shutdown, trajectory
+        export).
 
         Non-steady frames (initialization, loss, relocalization, VO-mode
         localization) run synchronously — latency is irrelevant there.
         """
-        self.apply_pending()
+        # Opportunistic drain: apply any in-flight frame whose readback
+        # has already landed (future done), and block for the oldest once
+        # the queue is at depth. The effective prediction lag thus adapts:
+        # ~1 when frames are slow enough to cover the readback latency,
+        # up to `pipeline_depth` when the host loop outruns the device.
+        # Depth itself adapts to the tracking margin: when inliers run
+        # thin the bookkeeping lag of a deep pipeline (late keyframes,
+        # stale local map) is what kills tracking, so fall back to
+        # lock-step until the margin recovers.
+        depth = (
+            self.pipeline_depth
+            if self.current_inliers >= 2 * self.cfg.tracking.min_inliers_local_map
+            else 1
+        )
+        while self._pending and (
+            len(self._pending) >= depth
+            or self._pending[0][1][0].done()
+        ):
+            self._apply_oldest()
         self.frame_id += 1
 
         if self.state == TrackState.NOT_INITIALIZED:
+            self.flush_pending()
             if self.cfg.sensor == Sensor.MONOCULAR:
                 self._monocular_initialization(f)
             else:
@@ -504,26 +569,34 @@ class Tracking:
             self._check_replaced_last()
             disp = self._fused_dispatch(f)
             if disp is not None:
-                self._pending = (f, disp, self.current_timestamp)
+                self._pending.append((f, disp, self.current_timestamp))
                 return self.last_pose
 
+        # Sync path: drain in-flight frames first so the slow-path logic
+        # sees fully up-to-date tracker state.
+        self.flush_pending()
         ok, pose, cur_mp = self._track_sync(f)
         self._finalize(f, ok, pose, cur_mp)
         return self.last_pose if ok else None
 
-    def apply_pending(self):
-        """Complete the previous frame's dispatched track step: fetch its
-        (already-landed) results, run the host bookkeeping, decide/create
-        its keyframe. Falls back to the synchronous slow paths when the
-        fused step failed."""
-        if self._pending is None:
+    def _apply_oldest(self):
+        """Complete the oldest in-flight frame's dispatched track step:
+        fetch its (already-landed) results, run the host bookkeeping,
+        decide/create its keyframe. Falls back to the synchronous slow
+        paths when the fused step failed."""
+        if not self._pending:
             return
-        f, disp, stamp = self._pending
-        self._pending = None
+        f, disp, stamp = self._pending.popleft()
         saved_stamp = self.current_timestamp
         self.current_timestamp = stamp  # the pending frame's timestamp
         ok, pose, cur_mp = self._fused_apply(f, disp)
         if not ok:
+            # The newer in-flight dispatches were predicted off state that
+            # just failed: drain them through the fused apply too (their
+            # results are already in flight), worst case they also fall
+            # through to the recovery paths below on their own turn. The
+            # device pose chain is broken either way.
+            self._chain = None
             ok, pose, cur_mp = self._track_reference_kf(f)
             if self.state == TrackState.LOST or not ok:
                 ok, pose, cur_mp = self._relocalize(f)
@@ -534,10 +607,18 @@ class Tracking:
         self._finalize(f, ok, pose, cur_mp)
         self.current_timestamp = saved_stamp
 
-    flush_pending = apply_pending
+    def apply_pending(self):
+        self._apply_oldest()
+
+    def flush_pending(self):
+        """Drain every in-flight frame (shutdown, trajectory export, any
+        transition to a synchronous tracking path)."""
+        while self._pending:
+            self._apply_oldest()
 
     def _track_sync(self, f: frame_mod.FrameData):
         """Synchronous (same-frame) tracking: the non-pipelined paths."""
+        self._chain = None
         ok = False
         fused_done = False
         pose = None
@@ -932,8 +1013,21 @@ class Tracking:
         pts_pad[: min(len(local_pts), cap)] = local_pts[:cap]
         safe = np.maximum(pts_pad, 0)
 
-        T_pred = self.velocity @ np.vstack([self.last_pose, [0, 0, 0, 1]])
-        T_pred = T_pred[:3].astype(np.float32)
+        # Constant-velocity prediction. Steady state uses the DEVICE pose
+        # chain: the previous dispatch's (still in flight) chained pose
+        # feeds this prediction without any host readback, so prediction
+        # lag is 1 frame regardless of how deep the host apply pipeline
+        # runs. Off-chain (first frame after a sync path / recovery), the
+        # prediction is extrapolated on host across the actual lag.
+        frac = self.cfg.tracking.velocity_rotation_fraction
+        if self._chain is not None:
+            T_pred = None  # computed on device below
+        else:
+            T_pred = np.vstack([self.last_pose, [0, 0, 0, 1]])
+            vel_h = np.vstack([self.velocity, [0, 0, 0, 1]])
+            for _ in range(len(self._pending) + 1):
+                T_pred = vel_h @ T_pred
+            T_pred = T_pred[:3].astype(np.float32)
 
         vo_xyz, vo_valid = self._vo_arrays(f.xy.shape[0])
         t0 = self._mark("prep", t0)
@@ -941,14 +1035,25 @@ class Tracking:
         dev.flush()
         t0 = self._mark("flush", t0)
         # ONE batched h2d for all small host-side inputs.
-        T_pred_d, last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = (
-            jax.device_put(
-                (T_pred, self.last_mp.astype(np.int32), pts_pad,
-                 vo_xyz, vo_valid)
+        if T_pred is None:
+            last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = jax.device_put(
+                (self.last_mp.astype(np.int32), pts_pad, vo_xyz, vo_valid)
             )
-        )
+            T_pred_d = _chain_predict(self._chain[0], self._chain[1], frac)
+            prev_pose_d = self._chain[0]
+        else:
+            T_pred_d, prev_pose_d, last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = (
+                jax.device_put(
+                    (T_pred, self.last_pose.astype(np.float32),
+                     self.last_mp.astype(np.int32), pts_pad,
+                     vo_xyz, vo_valid)
+                )
+            )
         t0 = self._mark("upload", t0)
-        out = _full_track_step(
+        # Head args are retained for the failed-apply wide retry; the
+        # devicemap columns are NOT retained (flush() replaces/donates
+        # them) — the retry re-reads the current mirror.
+        head_args = (
             self.cfg,
             T_pred_d,
             last_mp_d,
@@ -957,36 +1062,82 @@ class Tracking:
             vo_xyz_d,
             vo_valid_d,
             local_idx_d,
+        )
+        tail_args = (f, self.K, self.inv_sigma2_levels, self._sf_dev)
+        # Lag-scaled stage-1 window: at pipeline lag L the constant-
+        # velocity prediction is L frames of extrapolation, so the
+        # projection window grows with it (static arg — one compiled
+        # variant per lag value).
+        # With the device pose chain the prediction lag is 1 regardless
+        # of host apply depth; off-chain dispatches extrapolate across the
+        # actual lag and widen the stage-1 window accordingly.
+        if self._chain is not None:
+            radius_mult = 1.0
+        else:
+            lag = len(self._pending) + 1
+            radius_mult = (1.0, 1.5, 2.0)[min(lag - 1, 2)]
+        out, chain_pose = _full_track_step(
+            *head_args,
             dev.pt_xyz, dev.pt_normal, dev.pt_min_dist, dev.pt_max_dist,
             dev.pt_desc, dev.pt_valid,
-            f,
-            self.K,
-            self.inv_sigma2_levels,
-            self._sf_dev,
+            *tail_args,
+            radius_mult=radius_mult,
         )
+        # Advance the device pose chain (prev, prev2) for the next
+        # dispatch's prediction.
+        self._chain = (chain_pose, prev_pose_d)
         t0 = self._mark("dispatch", t0)
-        # Start the result copies now: they complete while the host moves
-        # on (mapping stages, next frame's build) — by apply time the
-        # fetch is a local memcpy, not a device round trip.
-        prefetch(out)
+        # Start the readback on a background worker now: the blocking
+        # device_get waits out the tunnel latency concurrently with the
+        # host's mapping stages / next frame build, so apply's .result()
+        # is (usually) an already-landed local value.
+        fut = fetch_async(*out)
+        # Frame descriptors ride their own background fetch: the apply
+        # needs them on host for the per-frame point-descriptor refresh.
+        desc_fut = fetch_async(f.desc)
         t0 = self._mark("prefetch", t0)
         # Record the last_mp snapshot: apply must translate match rows
         # through the SAME index view the dispatch used, even if the map
-        # mutates in between.
-        return (out, pts_pad, safe, self.last_mp)
+        # mutates in between. head/tail args are kept so a failed apply
+        # can retry synchronously with a wide window.
+        return (fut, pts_pad, safe, self.last_mp, (head_args, tail_args),
+                desc_fut)
 
     def _fused_apply(self, f: frame_mod.FrameData, disp):
         """Steady-state hot path, apply half: one (prefetched) readback +
         host bookkeeping. In the pipelined flow this runs at the START of
-        the NEXT frame's track() call."""
-        out, pts_pad, safe, last_mp = disp
+        the NEXT frame's track() call. On failure, ONE synchronous retry
+        re-runs the step with a 3x stage-1 window (the reference's widened
+        second search pass, Tracking.cc:888-892) before the caller falls
+        through to the reference-keyframe / relocalization chain."""
+        fut, pts_pad, safe, last_mp, (head_args, tail_args), desc_fut = disp
         t0 = time.perf_counter()
+        fetched = fut.result()
+        t0 = self._mark("fetch", t0)
+        ok, pose, mp = self._fused_postprocess(
+            f, fetched, pts_pad, safe, last_mp, desc_fut
+        )
+        if ok:
+            return ok, pose, mp
+        dev = self.map.device
+        dev.flush()
+        wide, _chain_unused = _full_track_step(
+            *head_args,
+            dev.pt_xyz, dev.pt_normal, dev.pt_min_dist, dev.pt_max_dist,
+            dev.pt_desc, dev.pt_valid,
+            *tail_args,
+            radius_mult=3.0,
+        )
+        return self._fused_postprocess(
+            f, fetch(*wide), pts_pad, safe, last_mp, desc_fut
+        )
+
+    def _fused_postprocess(self, f, fetched, pts_pad, safe, last_mp, desc_fut=None):
         (
             mm_ok, m1_idx, good_q,
             in_view, m2_idx, m2_valid,
             pose2, inl_feat, n2,
-        ) = fetch(*out)
-        t0 = self._mark("fetch", t0)
+        ) = fetched
         if not bool(mm_ok):
             return False, None, None
         self.map.pt_visible[safe[in_view]] += 1
@@ -1005,6 +1156,18 @@ class Tracking:
         found[~inl_feat] = -1
         self.map.pt_found[found[found >= 0]] += 1
         new_mp[~inl_feat] = -1
+        # Per-frame descriptor refresh (beyond the reference, which only
+        # recomputes representative descriptors on keyframe events,
+        # MapPoint.cc:242): an inlier-matched point takes the CURRENT
+        # frame's descriptor, so its appearance tracks viewpoint change
+        # instead of decaying toward unmatchability. The frame descriptors
+        # were prefetched at build; the fetch here is a landed copy.
+        feat_sel = np.nonzero(new_mp >= 0)[0]
+        if len(feat_sel) and not self.only_tracking:
+            f_desc = desc_fut.result() if desc_fut is not None else fetch(f.desc)
+            pt_sel = new_mp[feat_sel]
+            self.map.pt_desc[pt_sel] = f_desc[feat_sel]
+            self.map.mark_points_dirty(pt_sel)
         self.current_inliers = n = int(n2)
         if self.only_tracking:
             # mbVO (reference: Tracking.cc:283-361): few MAP-point matches
@@ -1080,16 +1243,22 @@ class Tracking:
         live = self.map.live_keyframes()
         if len(live) == 0:
             return False, None, None
-        candidates = None
+        candidates = []
         provider = getattr(self, "reloc_provider", None)
         if provider is not None:
             f_desc, f_kp_valid = fetch(f.desc, f.valid)
-            candidates = provider.reloc_candidates(f_desc, f_kp_valid)
-        if not candidates:
-            # Fallback: most recent keyframes (by insertion serial — slot
-            # ids recycle at capacity).
-            order = np.argsort(self.map.kf_serial[live])
-            candidates = live[order[-10:]]
+            candidates = list(provider.reloc_candidates(f_desc, f_kp_valid))
+        # Always ALSO try the most recent keyframes (by insertion serial —
+        # slot ids recycle at capacity): tracking is usually lost near the
+        # map frontier, where inverted-file BoW retrieval is weakest (the
+        # newest keyframes have the fewest indexed words and observed
+        # failures returned only old keyframes). The reference's reloc
+        # searches whatever the database returns (Tracking.cc:1355); the
+        # union costs one extra batched match dispatch and removes the
+        # lost-forever failure mode.
+        order = np.argsort(self.map.kf_serial[live])
+        recent = [int(k) for k in live[order[-10:]]]
+        candidates = list(dict.fromkeys([int(c) for c in candidates] + recent))
         # Dispatch every candidate's match, then read all counts + results
         # down in ONE batched transfer (the reference iterates candidates
         # with early exits, Tracking.cc:1370-1439; latency dominates here).

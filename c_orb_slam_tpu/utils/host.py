@@ -14,7 +14,31 @@ rules, enforced via this module:
 
 from __future__ import annotations
 
+from concurrent.futures import Future, ThreadPoolExecutor
+
 import jax
+
+# Background d2h workers: a blocking device_get on a worker thread runs
+# concurrently with main-thread dispatches (the GIL is released during the
+# transfer wait), so the ~25 ms dispatch->host-visible latency of a
+# remote-attached chip is hidden whenever the result is consumed at least
+# one pipeline stage later. Enough workers that every outstanding readback
+# starts immediately — with a small pool the frame-critical tracking fetch
+# was observed queuing behind slow mapping fetches (priority inversion);
+# workers spend their time blocked on the transport, so oversubscription
+# is free.
+_EXECUTOR = ThreadPoolExecutor(max_workers=8, thread_name_prefix="d2h")
+
+
+def fetch_async(*arrays) -> Future:
+    """Start a blocking fetch of `arrays` on a background worker.
+
+    Returns a Future whose .result() is exactly `fetch(*arrays)`. Use at
+    dispatch time; call .result() at apply time (usually already done).
+    Unlike `prefetch` (copy_to_host_async), the worker genuinely waits for
+    completion, so .result() never re-pays the round-trip latency.
+    """
+    return _EXECUTOR.submit(fetch, *arrays)
 
 
 def fetch(*arrays):
