@@ -411,5 +411,9 @@ def load_yaml(path: str, sensor: int = Sensor.MONOCULAR) -> SlamConfig:
         th_depth=float(g("ThDepth", 35.0)),
         depth_map_factor=float(g("DepthMapFactor", 1.0)),
         max_frames_between_kf=int(round(fps)),
+        # Extension key (no reference analog — its 500-point gate is a
+        # compile-time constant, Tracking.cc:511): lets low-texture
+        # sequences lower the stereo/RGBD init gate from YAML.
+        min_stereo_init_points=int(g("Tracking.minStereoInitPoints", 500)),
     )
     return SlamConfig(sensor=sensor, camera=cam, orb=orb, tracking=tracking)

@@ -125,9 +125,13 @@ def detect(
     fall back to the low threshold.
     """
     # ONE circle-difference stack shared by both threshold passes, held in
-    # bfloat16: pixel values are 0..255 integers, so differences up to
-    # ±255 are exact in bf16 (8-bit mantissa) and the (16, H, W) stack —
-    # the bandwidth hot spot of the whole detector — moves at half cost.
+    # bfloat16 so the (16, H, W) stack — the bandwidth hot spot of the
+    # whole detector — moves at half cost. Level-0 pixels are 0..255
+    # integers whose differences are exact in bf16; levels >= 1 are
+    # bilinear-resized floats (pyramid.py), where bf16 ulp of 1.0 in
+    # [128, 256) can quantize near-threshold diffs by up to ~1 intensity
+    # unit (~0.4% of range) — flipping only marginal corners and NMS score
+    # ties, measured benign on the e2e tracking suites.
     circle = _circle_stack(image.astype(jnp.bfloat16))
     diff = circle - image.astype(jnp.bfloat16)[None, :, :]
     corner_hi, score_hi = _segment_test(diff, ini_threshold)

@@ -87,6 +87,9 @@ class System:
         )
         if self.loop_closing is not None:
             self.loop_closing.on_pose_correction = self._on_loop_correction
+            self.loop_closing.on_before_correction = (
+                self.tracker.flush_pending
+            )
             self.tracker.reloc_provider = self.loop_closing
         self.tracker.mapper = self.local_mapping
         self.local_mapping.on_keyframe_done = self._on_mapping_done
@@ -181,6 +184,11 @@ class System:
         memory; here the host hands the correction over explicitly)."""
         import numpy as _np
 
+        # In-flight pipelined frames were already drained by the
+        # on_before_correction hook (fired before any map mutation); any
+        # frame dispatched since would be a bug, so drain defensively.
+        self.tracker.flush_pending()
+
         # T_corr = T_new ∘ T_old^-1 (both world->cam).
         R_old, t_old = T_old[:, :3], T_old[:, 3]
         T_old_inv = _np.concatenate(
@@ -242,9 +250,7 @@ class System:
         reflected retroactively (reference: System.cc:345-380)."""
         self.tracker.flush_pending()
         poses, stamps = [], []
-        for (fid, T_cr, ref, state), t in zip(
-            self.tracker.trajectory, self.timestamps
-        ):
+        for fid, T_cr, ref, state, t in self.tracker.trajectory:
             if state != TrackState.OK:
                 continue
             if ref >= 0:

@@ -493,12 +493,12 @@ class Tracking:
         re-point them at its spanning parent (eager version of the
         reference's lazy mTcp walk, System.cc:361-366)."""
         Tcp_h = np.vstack([Tcp_k, [0, 0, 0, 1.0]])
-        for i, (fid, T_cr, ref, state) in enumerate(self.trajectory):
+        for i, (fid, T_cr, ref, state, stamp) in enumerate(self.trajectory):
             if ref == k:
                 T_new = (
                     np.vstack([T_cr, [0, 0, 0, 1.0]]) @ Tcp_h
                 )[:3].astype(np.float32)
-                self.trajectory[i] = (fid, T_new, parent_k, state)
+                self.trajectory[i] = (fid, T_new, parent_k, state, stamp)
         if self.ref_kf == k:
             self.ref_kf = parent_k
 
@@ -570,6 +570,19 @@ class Tracking:
             disp = self._fused_dispatch(f)
             if disp is not None:
                 self._pending.append((f, disp, self.current_timestamp))
+                if self.only_tracking:
+                    # Localization mode is lock-step: the caller is using
+                    # the returned pose per frame (the reference's
+                    # TrackMonocular contract — current frame's Tcw), so
+                    # the pipelined stale-pose return is not acceptable
+                    # here. The fused step still runs as one device
+                    # program; we just wait out its readback now.
+                    self.flush_pending()
+                    return (
+                        self.last_pose
+                        if self.state == TrackState.OK
+                        else None
+                    )
                 return self.last_pose
 
         # Sync path: drain in-flight frames first so the slow-path logic
@@ -698,8 +711,18 @@ class Tracking:
                     np.vstack([self.last_pose, [0, 0, 0, 1.0]])[:3]
                     @ np.vstack([Tr_inv, [0, 0, 0, 1.0]])
                 ).astype(np.float32)
+            # The entry carries its own timestamp: frames before
+            # initialization produce no entry, so zipping against a
+            # per-call timestamp list would shift every pose one frame
+            # early (exactly the bug a position-based pairing had).
             self.trajectory.append(
-                (self.frame_id, T_cr.copy(), self.ref_kf, self.state)
+                (
+                    self.frame_id,
+                    T_cr.copy(),
+                    self.ref_kf,
+                    self.state,
+                    self.current_timestamp,
+                )
             )
 
     def _check_replaced_last(self):
@@ -1022,12 +1045,21 @@ class Tracking:
         frac = self.cfg.tracking.velocity_rotation_fraction
         if self._chain is not None:
             T_pred = None  # computed on device below
+            T_prev = None
         else:
+            # Extrapolate across the actual lag. T_prev is the estimate at
+            # frame t-1 (NOT last_pose, which is frame t-L-1 when the
+            # pipeline holds L frames): seeding the chain's prev2 at
+            # 1-frame spacing keeps the NEXT on-chain _chain_predict a
+            # 1-frame velocity instead of an ~L× overshoot.
             T_pred = np.vstack([self.last_pose, [0, 0, 0, 1]])
             vel_h = np.vstack([self.velocity, [0, 0, 0, 1]])
+            T_prev = T_pred
             for _ in range(len(self._pending) + 1):
+                T_prev = T_pred
                 T_pred = vel_h @ T_pred
             T_pred = T_pred[:3].astype(np.float32)
+            T_prev = T_prev[:3].astype(np.float32)
 
         vo_xyz, vo_valid = self._vo_arrays(f.xy.shape[0])
         t0 = self._mark("prep", t0)
@@ -1044,7 +1076,7 @@ class Tracking:
         else:
             T_pred_d, prev_pose_d, last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = (
                 jax.device_put(
-                    (T_pred, self.last_pose.astype(np.float32),
+                    (T_pred, T_prev,
                      self.last_mp.astype(np.int32), pts_pad,
                      vo_xyz, vo_valid)
                 )
@@ -1140,7 +1172,6 @@ class Tracking:
         ) = fetched
         if not bool(mm_ok):
             return False, None, None
-        self.map.pt_visible[safe[in_view]] += 1
         new_mp = np.full(f.xy.shape[0], -1, np.int64)
         new_mp[m1_idx[good_q]] = last_mp[good_q]
         new_mp[m2_idx[m2_valid]] = pts_pad[m2_valid]
@@ -1154,8 +1185,36 @@ class Tracking:
         new_mp[dead] = -1
         found = new_mp.copy()
         found[~inl_feat] = -1
-        self.map.pt_found[found[found >= 0]] += 1
         new_mp[~inl_feat] = -1
+        n = int(n2)
+        vo_mode = self.only_tracking and int((new_mp >= 0).sum()) < 10
+        recent_reloc = self.frame_id - self.last_reloc_frame_id < int(
+            self.cfg.camera.fps
+        )
+        need = (
+            self.cfg.tracking.min_inliers_local_map_strict
+            if recent_reloc
+            else self.cfg.tracking.min_inliers_local_map
+        )
+        if vo_mode:
+            # mbVO (reference: Tracking.cc:283-361): few MAP-point matches
+            # means we drifted off the mapped region — VO points carry the
+            # pose, and relocalization is attempted every frame until the
+            # map is reacquired. Accept on pose-opt inliers (VO rows
+            # included): the map gate would spuriously drop to LOST
+            # outside the mapped region.
+            accept = n >= self.cfg.tracking.min_inliers_pose
+        else:
+            accept = n >= need
+        if not accept:
+            # No side effects on a rejected pass: the wide retry in
+            # _fused_apply re-runs this postprocess, and committing
+            # visible/found increments or descriptor refreshes here would
+            # double-count the frame (skewing the found/visible culling
+            # ratio) and bake in stats from a rejected pose.
+            return False, pose2, new_mp
+        self.map.pt_visible[safe[in_view]] += 1
+        self.map.pt_found[found[found >= 0]] += 1
         # Per-frame descriptor refresh (beyond the reference, which only
         # recomputes representative descriptors on keyframe events,
         # MapPoint.cc:242): an inlier-matched point takes the CURRENT
@@ -1168,26 +1227,10 @@ class Tracking:
             pt_sel = new_mp[feat_sel]
             self.map.pt_desc[pt_sel] = f_desc[feat_sel]
             self.map.mark_points_dirty(pt_sel)
-        self.current_inliers = n = int(n2)
+        self.current_inliers = n
         if self.only_tracking:
-            # mbVO (reference: Tracking.cc:283-361): few MAP-point matches
-            # means we drifted off the mapped region — VO points carry the
-            # pose, and relocalization is attempted every frame until the
-            # map is reacquired.
-            self._vo_mode = int((new_mp >= 0).sum()) < 10
-        recent_reloc = self.frame_id - self.last_reloc_frame_id < int(
-            self.cfg.camera.fps
-        )
-        need = (
-            self.cfg.tracking.min_inliers_local_map_strict
-            if recent_reloc
-            else self.cfg.tracking.min_inliers_local_map
-        )
-        if self.only_tracking and self._vo_mode:
-            # Accept on pose-opt inliers (VO rows included): the map gate
-            # would spuriously drop to LOST outside the mapped region.
-            return n >= self.cfg.tracking.min_inliers_pose, pose2, new_mp
-        return n >= need, pose2, new_mp
+            self._vo_mode = vo_mode
+        return True, pose2, new_mp
 
     def _track_reference_kf(self, f: frame_mod.FrameData):
         """Match against the reference keyframe's map points (reference:

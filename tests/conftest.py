@@ -22,3 +22,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the e2e stereo tests BEFORE the stereo-KITTI CLI test.
+
+    The CLI test spawns a fresh python subprocess; its jitted programs are
+    identical (by construction — same SlamConfig) to the ones the e2e
+    stereo tests compile, so running e2e first warms the persistent
+    compile cache and the subprocess starts at full speed instead of
+    paying a ~6 min cold compile against its 560 s timeout.
+    """
+    cli = [i for i in items if "test_stereo_kitti_cli_runs" in i.nodeid]
+    if not cli:
+        return
+    rest = [i for i in items if "test_stereo_kitti_cli_runs" not in i.nodeid]
+    items[:] = rest + cli

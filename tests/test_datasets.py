@@ -23,6 +23,14 @@ from synthetic import blob_world, render_stereo_pair, smooth_trajectory
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE = 0.2
 
+# This YAML reproduces e2e_stereo_debug.run()'s config EXACTLY (every
+# value that lands in traced HLO: shapes, thresholds, calibration). The
+# CLI test spawns a FRESH python whose jit programs are paid cold when
+# the persistent compile cache is empty — a ~6 min compile that blew the
+# 560 s subprocess timeout on slow machines (the round-2/3 CI flake).
+# With identical config, the e2e stereo tests (forced to run FIRST by
+# conftest ordering) warm the on-disk cache and the subprocess starts at
+# full speed.
 SETTINGS_YAML = """%YAML:1.0
 Camera.fx: 500.0
 Camera.fy: 500.0
@@ -38,11 +46,12 @@ Camera.fps: 10.0
 Camera.bf: 100.0
 Camera.RGB: 1
 ThDepth: 35.0
-ORBextractor.nFeatures: 600
+ORBextractor.nFeatures: 800
 ORBextractor.scaleFactor: 1.2
 ORBextractor.nLevels: 4
 ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
+Tracking.minStereoInitPoints: 60
 """
 
 
@@ -155,7 +164,10 @@ def test_stereo_kitti_cli_runs(kitti_dir, tmp_path):
             "--out", str(out), "--kf-out", str(kf_out),
             "--no-realtime", "--max-frames", "8",
         ],
-        capture_output=True, text=True, timeout=560, env=env,
+        # Warm-cache runs finish in well under a minute; the generous
+        # ceiling only matters when this test is run standalone (no e2e
+        # stereo test compiled the shared programs first).
+        capture_output=True, text=True, timeout=900, env=env,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "median tracking time" in r.stdout
