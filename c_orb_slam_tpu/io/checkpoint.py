@@ -24,10 +24,12 @@ _ARRAY_FIELDS = [
     "kf_desc", "kf_ur", "kf_depth", "kf_kp_valid", "kf_mp",
     "pt_xyz", "pt_desc", "pt_normal", "pt_min_dist", "pt_max_dist",
     "pt_valid", "pt_ref_kf", "pt_first_kf", "pt_visible", "pt_found",
-    "pt_replaced_by", "pt_obs_kf", "pt_obs_feat", "pt_n_obs",
+    "pt_replaced_by", "pt_serial", "pt_obs_kf", "pt_obs_feat", "pt_n_obs",
     "covis", "spanning_parent",
 ]
-_SCALAR_FIELDS = ["n_keyframes", "n_added_keyframes", "big_change_idx"]
+_SCALAR_FIELDS = [
+    "n_keyframes", "n_added_keyframes", "n_added_points", "big_change_idx",
+]
 
 
 def save_map(path: str, mapstate: MapState, vocabulary=None):
@@ -68,6 +70,11 @@ def load_map(path: str, cfg: SlamConfig) -> tuple[MapState, Optional[object]]:
         m.kf_serial[: m.n_keyframes] = np.arange(m.n_keyframes)
     if "n_added_keyframes" not in z:
         m.n_added_keyframes = m.n_keyframes
+    if "pt_serial" not in z:
+        # Pre-serial checkpoint: give live points fresh serials.
+        live = np.nonzero(m.pt_valid)[0]
+        m.pt_serial[live] = np.arange(len(live))
+        m.n_added_points = len(live)
     voc = None
     if "voc_k" in z:
         import jax.numpy as jnp

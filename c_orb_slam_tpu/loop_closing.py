@@ -33,7 +33,7 @@ from c_orb_slam_tpu.bow.database import (
 )
 from c_orb_slam_tpu.config import SlamConfig, Sensor
 from c_orb_slam_tpu.utils.host import fetch, fetch_async, prefetch
-from c_orb_slam_tpu.geometry import camera, se3, sim3
+from c_orb_slam_tpu.geometry import camera, np_se3, se3, sim3
 from c_orb_slam_tpu.ops import match, sim3solve
 from c_orb_slam_tpu.optim import ba as ba_mod
 from c_orb_slam_tpu.optim import pose_graph, sim3_opt
@@ -47,6 +47,117 @@ _DEBUG = bool(os.environ.get("SLAM_DEBUG"))
 def _dbg(*args):
     if _DEBUG:
         print("[loop]", *args)
+
+
+_classify_inliers_jit = jax.jit(
+    ba_mod.classify_inliers, static_argnames=("chi2_mono", "chi2_stereo")
+)
+
+
+class _GbaJob:
+    """In-flight snapshot-epoch global BA (see LoopClosing._start_gba).
+
+    Owns a device-resident BAProblem; advance() dispatches ONE jitted LM
+    iteration (async — never blocks the host), walking the two-stage
+    schedule of bundle_adjust (huber stage -> inlier reclassification ->
+    clean stage) one chunk per call. finished() goes true once the final
+    readback has landed."""
+
+    def __init__(self, problem, kfs, kf_serials, pts, pt_serials,
+                 iters_first, iters_second, pcg_iters,
+                 chi2_mono, chi2_stereo):
+        self.p = problem
+        self.kfs = kfs
+        self.kf_serials = kf_serials
+        self.pts = pts
+        self.pt_serials = pt_serials
+        self.iters_first = iters_first
+        self.iters_second = iters_second
+        self.pcg_iters = pcg_iters
+        self.chi2_mono = chi2_mono
+        self.chi2_stereo = chi2_stereo
+        self.stage = 0  # 0 huber LM, 1 clean LM, 2 fetch, 3 done
+        self.i = 0
+        self.lam = jnp.asarray(1e-4, jnp.float32)
+        self.err = None
+        self._fut = None
+
+    def advance(self):
+        if self.stage >= 2:
+            return
+        use_huber = self.stage == 0
+        if self.err is None:
+            self.err = ba_mod.stage_error(
+                self.p, use_huber=use_huber,
+                chi2_mono=self.chi2_mono, chi2_stereo=self.chi2_stereo,
+            )
+        cam_T, points, self.lam, self.err = ba_mod.lm_step(
+            self.p, self.lam, self.err, use_huber=use_huber,
+            chi2_mono=self.chi2_mono, chi2_stereo=self.chi2_stereo,
+            pcg_iters=self.pcg_iters,
+        )
+        self.p = self.p._replace(cam_T=cam_T, points=points)
+        self.i += 1
+        if self.stage == 0 and self.i >= self.iters_first:
+            inlier = _classify_inliers_jit(
+                self.p, chi2_mono=self.chi2_mono,
+                chi2_stereo=self.chi2_stereo,
+            )
+            self.p = self.p._replace(obs_valid=inlier)
+            self.stage, self.i = 1, 0
+            self.lam = jnp.asarray(1e-4, jnp.float32)
+            self.err = None
+        elif self.stage == 1 and self.i >= self.iters_second:
+            self.stage = 2
+            self._fut = fetch_async(self.p.cam_T, self.p.points)
+
+    def ready(self, force: bool) -> bool:
+        return self.stage == 2 and (force or self._fut.done())
+
+    def result(self):
+        cam_T, points = self._fut.result()
+        self.stage = 3
+        return np.asarray(cam_T), np.asarray(points)
+
+
+class _ShardedGbaJob:
+    """Multi-device variant of _GbaJob: the snapshot problem is dispatched
+    ONCE through parallel/sharded_ba (map sharded over the device mesh,
+    camera Schur system reduce-scattered over ICI) and polled for its
+    async readback. No per-frame chunking: with D devices the whole solve
+    is one SPMD program and the host never blocks on it until ready."""
+
+    def __init__(self, problem, kfs, kf_serials, pts, pt_serials,
+                 iters_first, iters_second, pcg_iters,
+                 chi2_mono, chi2_stereo):
+        from c_orb_slam_tpu.parallel import sharded_ba
+
+        self.kfs = kfs
+        self.kf_serials = kf_serials
+        self.pts = pts
+        self.pt_serials = pt_serials
+        (cam_T, points, _inlier, _chi2), _pp = sharded_ba.sharded_bundle_adjust(
+            problem,
+            iters_first=iters_first,
+            iters_second=iters_second,
+            pcg_iters=pcg_iters,
+            chi2_mono=chi2_mono,
+            chi2_stereo=chi2_stereo,
+        )
+        # Padding is appended, ids preserved: slice back to the snapshot.
+        self._fut = fetch_async(cam_T[: len(kfs)], points[: len(pts)])
+        self.stage = 2
+
+    def advance(self):
+        pass
+
+    def ready(self, force: bool) -> bool:
+        return self.stage == 2 and (force or self._fut.done())
+
+    def result(self):
+        cam_T, points = self._fut.result()
+        self.stage = 3
+        return np.asarray(cam_T), np.asarray(points)
 
 
 class LoopClosing:
@@ -75,8 +186,18 @@ class LoopClosing:
         self.loop_edges: list[tuple[int, int]] = []  # prior loop edges
         self._rng = jax.random.PRNGKey(cfg.vocabulary.seed + 1)
         self.n_loops_closed = 0
+        # In-flight snapshot-epoch global BA (None when idle) + counter of
+        # applied background solves.
+        self.gba_job: Optional[_GbaJob] = None
+        self.n_gba_applied = 0
         # Set by System so a loop correction also fixes the tracker state.
         self.on_pose_correction = None
+        # Fired at the top of _correct_loop, BEFORE any map mutation: the
+        # tracker drains its in-flight pipelined frames here, because they
+        # were dispatched in the pre-correction world frame (the
+        # reference's Tracking reads poses under mMutexMapUpdate instead,
+        # LoopClosing.cc:445).
+        self.on_before_correction = None
         # Evict culled keyframes from the place-recognition database
         # (reference: KeyFrame::SetBadFlag erases from KeyFrameDatabase,
         # KeyFrame.cc:543).
@@ -181,6 +302,7 @@ class LoopClosing:
         System inside the tracking readback window). Defers (bounded)
         while the scoring readback is still in flight so the frame loop
         never blocks on loop-rate work."""
+        self._advance_gba()
         pd = self._pending_detect
         if pd is None:
             return False
@@ -214,7 +336,12 @@ class LoopClosing:
         return True
 
     def drain(self):
-        return self.step(force=True)
+        closed = self.step(force=True)
+        # Finish any background global BA synchronously (save_map,
+        # shutdown, trajectory export need the settled map).
+        while self.gba_job is not None:
+            self._advance_gba(force=True)
+        return closed
 
     def _dispatch(self, kf: int):
         self._ensure_db()
@@ -404,6 +531,8 @@ class LoopClosing:
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, loop_kf: int, S_cl, loop_pts: np.ndarray):
         """Reference: LoopClosing::CorrectLoop (:402-585)."""
+        if self.on_before_correction is not None:
+            self.on_before_correction()
         mp = self.map
         # Corrected Sim3 pose of the current KF: S_cw = S_cl ∘ S_lw
         # (reference: mg2oScw = gScm * gSmw, LoopClosing.cc:234-239 naming
@@ -471,8 +600,10 @@ class LoopClosing:
         )
         self.loop_edges.append((loop_kf, kf))
 
-        # Global BA with a bounded budget (:579 RunGlobalBundleAdjustment).
-        self._global_ba()
+        # Arm the background snapshot-epoch global BA (:579 spawns the
+        # GBA thread; a running job is aborted first like :411-423).
+        self.gba_job = None
+        self._start_gba()
 
         # Let the tracker re-anchor its last pose / velocity.
         if self.on_pose_correction is not None:
@@ -500,47 +631,71 @@ class LoopClosing:
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, kf, loop_kf, S_before, corrected, S_cw_corr):
         """Build the fixed-shape Sim3 pose graph and solve it
-        (reference: Optimizer::OptimizeEssentialGraph :781-1044)."""
+        (reference: Optimizer::OptimizeEssentialGraph :781-1044).
+
+        Edge assembly is fully vectorized (the round-2/3 version built
+        edges in nested Python loops over live x Nk): spanning-tree and
+        strong-covisibility pairs come from array ops, measurements from
+        ONE batched sim3 compose over the stacked pair list."""
         mp = self.map
         live = mp.live_keyframes()
         Nk = mp.kf_pose.shape[0]
+        live_arr = np.asarray(live, np.int64)
 
-        edges: list[tuple[int, int, jnp.ndarray, float]] = []
-        seen_pairs: set[tuple[int, int]] = set()
+        # S_before as a dense (Nk, 8) host array (one batched device op).
+        S_before_arr = np.tile(np.asarray(sim3.identity()), (Nk, 1))
+        S_before_arr[live_arr] = np.asarray(
+            sim3.from_se3(jnp.asarray(mp.kf_pose[live_arr]))
+        )
+        for k, S in S_before.items():
+            S_before_arr[k] = np.asarray(S)
 
-        def add_edge(i, j, meas=None, w=1.0):
-            key = (min(i, j), max(i, j))
-            if key in seen_pairs or i == j:
-                return
-            seen_pairs.add(key)
-            if meas is None:
-                meas = sim3.compose(S_before[j], sim3.inverse(S_before[i]))
-            edges.append((i, j, meas, w))
-
-        # Loop edge: measured relative = S_cl (already includes scale).
-        add_edge(loop_kf, kf, sim3.compose(S_cw_corr, sim3.inverse(S_before[loop_kf])))
+        # --- edge pair assembly (vectorized) ---
         # Spanning tree (:898-923).
-        for k in live:
-            p = mp.spanning_parent[k]
-            if p >= 0 and mp.kf_valid[p]:
-                add_edge(int(p), int(k))
+        par = mp.spanning_parent[live_arr]
+        ok = (par >= 0) & mp.kf_valid[np.maximum(par, 0)]
+        span_i, span_j = par[ok].astype(np.int64), live_arr[ok]
         # Prior loop edges (:925-949).
-        for (a, b) in self.loop_edges:
-            if mp.kf_valid[a] and mp.kf_valid[b]:
-                add_edge(a, b)
-        # Strong covisibility edges (:951-982).
+        if self.loop_edges:
+            le = np.asarray(self.loop_edges, np.int64)
+            ok = mp.kf_valid[le[:, 0]] & mp.kf_valid[le[:, 1]]
+            loop_i, loop_j = le[ok, 0], le[ok, 1]
+        else:
+            loop_i = loop_j = np.zeros(0, np.int64)
+        # Strong covisibility edges (:951-982), upper triangle only.
         thr = self.cfg.optimizer.essential_graph_min_weight
-        for k in live:
-            for j in np.nonzero(mp.covis[k] >= thr)[0]:
-                if j > k and mp.kf_valid[j]:
-                    add_edge(int(k), int(j))
+        live_mask = np.zeros(Nk, bool)
+        live_mask[live_arr] = True
+        cov = (mp.covis >= thr) & live_mask[:, None] & live_mask[None, :]
+        cov_i, cov_j = np.nonzero(np.triu(cov, 1))
+
+        ei = np.concatenate([[loop_kf], span_i, loop_i, cov_i]).astype(np.int64)
+        ej = np.concatenate([[kf], span_j, loop_j, cov_j]).astype(np.int64)
+        # Dedup by unordered pair, keeping the FIRST occurrence (the loop
+        # edge at index 0 carries a special measurement and must win).
+        lo, hi = np.minimum(ei, ej), np.maximum(ei, ej)
+        keykeep = np.zeros(len(ei), bool)
+        _, first = np.unique(lo * Nk + hi, return_index=True)
+        keykeep[first] = True
+        keykeep &= ei != ej
+        keykeep[0] = True  # the loop edge always survives
+        ei, ej = ei[keykeep], ej[keykeep]
+
+        # Measurements: S_ji = S_before[j] ∘ S_before[i]^-1, batched; the
+        # loop edge (row 0) instead measures the corrected relative.
+        Sj = jnp.asarray(S_before_arr[ej], jnp.float32)
+        Si = jnp.asarray(S_before_arr[ei], jnp.float32)
+        meas = np.asarray(sim3.compose(Sj, sim3.inverse(Si)))
+        meas[0] = np.asarray(
+            sim3.compose(S_cw_corr, sim3.inverse(jnp.asarray(S_before_arr[loop_kf])))
+        )
 
         verts = np.tile(np.asarray(sim3.identity()), (Nk, 1))
         v_valid = np.zeros(Nk, bool)
-        for k in live:
-            S = corrected.get(k, S_before[k])
+        verts[live_arr] = S_before_arr[live_arr]
+        v_valid[live_arr] = True
+        for k, S in corrected.items():
             verts[k] = np.asarray(S)
-            v_valid[k] = True
         v_fixed = np.zeros(Nk, bool)
         v_fixed[loop_kf] = True
 
@@ -548,113 +703,278 @@ class LoopClosing:
         # repeats across loop events and optimize_pose_graph compiles once
         # per bucket instead of once per event (padding edges are weight-0,
         # valid=False self-loops at vertex 0).
-        E = len(edges)
+        E = len(ei)
         Ep = max(16, 1 << (E - 1).bit_length())
         pad = Ep - E
-        ident = jnp.asarray(sim3.identity())
         problem = pose_graph.PoseGraphProblem(
             vertices=jnp.asarray(verts, jnp.float32),
             v_fixed=jnp.asarray(v_fixed),
             v_valid=jnp.asarray(v_valid),
-            edge_i=jnp.asarray([e[0] for e in edges] + [0] * pad, jnp.int32),
-            edge_j=jnp.asarray([e[1] for e in edges] + [0] * pad, jnp.int32),
-            edge_Sji=jnp.stack([e[2] for e in edges] + [ident] * pad),
+            edge_i=jnp.asarray(np.concatenate([ei, np.zeros(pad)]), jnp.int32),
+            edge_j=jnp.asarray(np.concatenate([ej, np.zeros(pad)]), jnp.int32),
+            edge_Sji=jnp.asarray(
+                np.concatenate(
+                    [meas, np.tile(np.asarray(sim3.identity()), (pad, 1))]
+                ),
+                jnp.float32,
+            ),
             edge_weight=jnp.asarray(
-                [e[3] for e in edges] + [0.0] * pad, jnp.float32
+                np.concatenate([np.ones(E), np.zeros(pad)]), jnp.float32
             ),
             edge_valid=jnp.asarray([True] * E + [False] * pad),
         )
-        out = pose_graph.optimize_pose_graph(
-            problem,
-            iters=self.cfg.optimizer.essential_graph_its,
-            pcg_iters=self.cfg.optimizer.pcg_iters,
-            fix_scale=self.fix_scale,
-        )
+        if len(jax.devices()) > 1:
+            # Edge-sharded SPMD solve over the device mesh
+            # (parallel/dpose_graph).
+            from c_orb_slam_tpu.parallel import dpose_graph
+
+            out = dpose_graph.distributed_pose_graph(
+                problem,
+                iters=self.cfg.optimizer.essential_graph_its,
+                pcg_iters=self.cfg.optimizer.pcg_iters,
+                fix_scale=self.fix_scale,
+            )
+        else:
+            out = pose_graph.optimize_pose_graph(
+                problem,
+                iters=self.cfg.optimizer.essential_graph_its,
+                pcg_iters=self.cfg.optimizer.pcg_iters,
+                fix_scale=self.fix_scale,
+            )
         out_np = np.asarray(out)
 
         # Remap points via their reference KF's correction (:1013-1043):
-        # x' = S_new^-1 ( S_old x ).
+        # x' = S_new^-1 ( S_old x ). S_old must match the vertex the solve
+        # started from (corrected.get(ref, S_before[ref]) == verts[ref]).
         pts = mp.live_points()
         if len(pts):
             ref = mp.pt_ref_kf[pts]
-            ref = np.where((ref >= 0) & mp.kf_valid[np.maximum(ref, 0)], ref, live[0])
-            S_old = np.stack([np.asarray(corrected.get(int(r), S_before[int(r)])) for r in ref])
-            S_new = out_np[ref]
+            ref = np.where(
+                (ref >= 0) & mp.kf_valid[np.maximum(ref, 0)], ref, live[0]
+            )
+            S_old = jnp.asarray(verts[ref], jnp.float32)
+            S_new = jnp.asarray(out_np[ref], jnp.float32)
             x = jnp.asarray(mp.pt_xyz[pts])
-            x_cam = jax.vmap(sim3.apply)(jnp.asarray(S_old), x[:, None, :])[:, 0]
-            x_new = jax.vmap(sim3.apply)(
-                jax.vmap(sim3.inverse)(jnp.asarray(S_new)), x_cam[:, None, :]
-            )[:, 0]
+            x_cam = sim3.apply(S_old, x)
+            x_new = sim3.apply(sim3.inverse(S_new), x_cam)
             mp.pt_xyz[pts] = np.asarray(x_new)
             mp.mark_points_dirty(pts)
 
-        # Write back SE3 poses (t/s, :991-1010).
-        for k in live:
-            mp.kf_pose[k] = np.asarray(sim3.to_se3(jnp.asarray(out_np[k])))
+        # Write back SE3 poses (t/s, :991-1010) — one batched conversion.
+        mp.kf_pose[live_arr] = np.asarray(
+            sim3.to_se3(jnp.asarray(out_np[live_arr], jnp.float32))
+        )
         mp.mark_kf_pose_dirty(live)
-        for p in pts:
-            mp.update_point_descriptor_and_normal(int(p))
+        mp.update_points_batch(pts)
 
     # ------------------------------------------------------------------
-    def _global_ba(self):
-        """Full-map BA with a bounded iteration budget (reference spawns an
-        abortable thread, LoopClosing.cc:645-749; a budget replaces the
-        abort flag, SURVEY.md §2.3)."""
+    # Global BA — snapshot-epoch background solve (SURVEY.md §7.3).
+    #
+    # The reference runs GBA in a spawned abortable 4th thread while
+    # tracking/mapping continue, then patches keyframes/points born
+    # during the solve through the spanning tree
+    # (LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:645-749).
+    # The TPU-native equivalent: the problem is SNAPSHOTTED at loop time
+    # (identities pinned by kf_serial/pt_serial — slots recycle), the LM
+    # solve is chunked into ONE jitted lm_step per tracked frame (device
+    # programs interleave with tracking's, so no frame ever waits out the
+    # whole solve), and on completion the result is applied with
+    # serial-guarded writes + spanning-tree replay of keyframes born
+    # mid-solve.
+
+    def _start_gba(self):
+        """Assemble the snapshot problem and arm the background job."""
         mp = self.map
         live = mp.live_keyframes()
         pts = mp.live_points()
         if len(live) < 2 or len(pts) == 0:
             return
-        kf_slot = {int(k): i for i, k in enumerate(live)}
-        pt_slot = {int(p): i for i, p in enumerate(pts)}
-        obs = []
-        for p in pts:
-            n = mp.pt_n_obs[p]
-            for k, f in zip(mp.pt_obs_kf[p, :n], mp.pt_obs_feat[p, :n]):
-                if k < 0 or not mp.kf_valid[k]:
-                    continue
-                ur = mp.kf_ur[k, f]
-                obs.append(
-                    (
-                        kf_slot[int(k)], pt_slot[int(p)],
-                        mp.kf_xy[k, f, 0], mp.kf_xy[k, f, 1],
-                        ur if ur > 0 else 0.0,
-                        1.0 / self.sigma2[mp.kf_octave[k, f]],
-                        1.0 if ur > 0 else 0.0,
-                    )
-                )
-        O = len(obs)
+        live = np.asarray(live, np.int64)
+        pts = np.asarray(pts, np.int64)
+
+        # Vectorized observation assembly (was a per-point Python loop —
+        # the mapping.py local-BA assembly pattern, applied globally).
+        Mo = mp.pt_obs_kf.shape[1]
+        obs_kf_all = mp.pt_obs_kf[pts]  # (P, Mo)
+        obs_feat_all = mp.pt_obs_feat[pts]
+        kf_slot_of = np.full(mp.kf_pose.shape[0], -1, np.int32)
+        kf_slot_of[live] = np.arange(len(live), dtype=np.int32)
+        ci = np.where(obs_kf_all >= 0, kf_slot_of[np.maximum(obs_kf_all, 0)], -1)
+        keep = ci >= 0
+        sel_p, sel_o = np.nonzero(keep)
+        O = len(sel_p)
         if O < 10:
             return
+        kfs_sel = obs_kf_all[sel_p, sel_o]
+        feats_sel = obs_feat_all[sel_p, sel_o]
         # Pad to the next power of two: stable jit cache across loop events.
         O_pad = 1 << (O - 1).bit_length()
-        arr = np.zeros((O_pad, 7), np.float32)
-        arr[:O] = np.asarray(obs, np.float32)
-        valid = np.zeros(O_pad, bool)
-        valid[:O] = True
+        obs_cam = np.zeros(O_pad, np.int32)
+        obs_pt = np.zeros(O_pad, np.int32)
+        obs_uv = np.zeros((O_pad, 3), np.float32)
+        obs_stereo = np.zeros(O_pad, bool)
+        obs_isig = np.ones(O_pad, np.float32)
+        obs_valid = np.zeros(O_pad, bool)
+        obs_cam[:O] = ci[sel_p, sel_o]
+        obs_pt[:O] = sel_p
+        uv_sel = mp.kf_xy[kfs_sel, feats_sel]
+        ur_sel = mp.kf_ur[kfs_sel, feats_sel]
+        stereo_sel = ur_sel > 0
+        obs_uv[:O, :2] = uv_sel
+        obs_uv[:O, 2] = np.where(stereo_sel, ur_sel, 0.0)
+        obs_stereo[:O] = stereo_sel
+        obs_isig[:O] = 1.0 / self.sigma2[mp.kf_octave[kfs_sel, feats_sel]]
+        obs_valid[:O] = True
 
-        problem = ba_mod.BAProblem(
-            cam_T=jnp.asarray(mp.kf_pose[live]),
-            cam_fixed=jnp.asarray([i == 0 for i in range(len(live))]),
-            cam_valid=jnp.ones(len(live), bool),
-            points=jnp.asarray(mp.pt_xyz[pts]),
-            point_valid=jnp.ones(len(pts), bool),
-            obs_cam=jnp.asarray(arr[:, 0], jnp.int32),
-            obs_pt=jnp.asarray(arr[:, 1], jnp.int32),
-            obs_uv=jnp.asarray(arr[:, 2:5]),
-            obs_stereo=jnp.asarray(arr[:, 6] > 0),
-            obs_inv_sigma2=jnp.asarray(arr[:, 5]),
-            obs_valid=jnp.asarray(valid),
-            K=self.K,
-            bf=jnp.asarray(float(self.cfg.camera.bf)),
+        # Gauge: fix the OLDEST keyframe by serial (the reference fixes
+        # KF id 0, Optimizer.cc:79; slot 0 may have been recycled).
+        cam_fixed = np.zeros(len(live), bool)
+        cam_fixed[int(np.argmin(mp.kf_serial[live]))] = True
+
+        up = jax.device_put(
+            (mp.kf_pose[live].astype(np.float32), cam_fixed,
+             mp.pt_xyz[pts].astype(np.float32), obs_cam, obs_pt, obs_uv,
+             obs_stereo, obs_isig, obs_valid,
+             np.float32(self.cfg.camera.bf))
         )
-        res = ba_mod.bundle_adjust(
-            problem,
+        problem = ba_mod.BAProblem(
+            cam_T=up[0], cam_fixed=up[1],
+            cam_valid=jnp.ones(len(live), bool),
+            points=up[2], point_valid=jnp.ones(len(pts), bool),
+            obs_cam=up[3], obs_pt=up[4], obs_uv=up[5],
+            obs_stereo=up[6], obs_inv_sigma2=up[7], obs_valid=up[8],
+            K=self.K, bf=up[9],
+        )
+        problem = ba_mod.sort_by_point(problem)
+        # Multi-device: dispatch the map-sharded SPMD solve over the mesh
+        # (parallel/sharded_ba — Schur camera system reduce-scattered over
+        # ICI). Single device: chunk the LM schedule one iteration per
+        # frame so tracking programs interleave on the one chip.
+        job_cls = (
+            _ShardedGbaJob if len(jax.devices()) > 1 else _GbaJob
+        )
+        self.gba_job = job_cls(
+            problem=problem,
+            kfs=live,
+            kf_serials=mp.kf_serial[live].copy(),
+            pts=pts,
+            pt_serials=mp.pt_serial[pts].copy(),
             iters_first=self.cfg.optimizer.global_ba_its,
             iters_second=self.cfg.optimizer.global_ba_its,
             pcg_iters=self.cfg.optimizer.pcg_iters,
+            chi2_mono=self.cfg.optimizer.chi2_mono,
+            chi2_stereo=self.cfg.optimizer.chi2_stereo,
         )
-        mp.kf_pose[live] = np.asarray(res.cam_T)
-        mp.pt_xyz[pts] = np.asarray(res.points)
-        mp.mark_kf_pose_dirty(live)
-        mp.mark_points_dirty(pts)
+        self.gba_job.advance()  # dispatch the first chunk now
+
+    def _advance_gba(self, force: bool = False):
+        """Called once per tracked frame: push the background solve one
+        chunk forward; apply when finished (force blocks out the final
+        readback — drain/shutdown only)."""
+        job = self.gba_job
+        if job is None:
+            return False
+        job.advance()
+        if not job.ready(force):
+            return False
+        self.gba_job = None
+        self._apply_gba(job)
+        return True
+
+    def _apply_gba(self, job: "_GbaJob"):
+        """Write the snapshot solve back into the (evolved) map:
+        serial-guarded pose/point writes + spanning-tree replay for
+        keyframes and points born during the solve (reference:
+        LoopClosing.cc:665-737)."""
+        mp = self.map
+        if self.on_before_correction is not None:
+            self.on_before_correction()
+        cam_T, points = job.result()
+
+        # 1. Snapshot keyframes still live under the same identity.
+        T_bef: dict[int, np.ndarray] = {}
+        T_new: dict[int, np.ndarray] = {}
+        for i, k in enumerate(job.kfs):
+            k = int(k)
+            if mp.kf_valid[k] and mp.kf_serial[k] == job.kf_serials[i]:
+                T_bef[k] = mp.kf_pose[k].copy()
+                T_new[k] = cam_T[i]
+
+        if not T_new:
+            return
+
+        # 2. Replay keyframes born during the solve via the spanning tree
+        # (reference :677-715): T_new[child] = T_cur[child] ∘
+        # T_bef[parent]^-1 ∘ T_new[parent]. Children are newer than their
+        # parents in serial order, so one serial-sorted pass converges;
+        # re-parenting edge cases get two extra passes.
+        live_now = mp.live_keyframes()
+        rest = sorted(
+            (k for k in live_now if k not in T_new),
+            key=lambda k: mp.kf_serial[k],
+        )
+        for _ in range(3):
+            progressed = False
+            for k in rest:
+                if k in T_new:
+                    continue
+                p = int(mp.spanning_parent[k])
+                if p in T_new:
+                    T_cur = mp.kf_pose[k]
+                    rel = np_se3.compose(T_cur, np_se3.inverse(T_bef[p]))
+                    T_bef[k] = T_cur.copy()
+                    T_new[k] = np_se3.compose(rel, T_new[p])
+                    progressed = True
+            if not progressed:
+                break
+
+        # 3. Points: snapshot points (same identity) take the solved
+        # position; points born during the solve move with their
+        # reference keyframe's correction: x' = T_new[ref]^-1 T_bef[ref] x
+        # (reference :716-736).
+        snap_ok = mp.pt_valid[job.pts] & (mp.pt_serial[job.pts] == job.pt_serials)
+        snap_pts = job.pts[snap_ok]
+        mp.pt_xyz[snap_pts] = points[snap_ok]
+
+        snap_set = np.zeros(mp.pt_xyz.shape[0], bool)
+        snap_set[snap_pts] = True
+        other = mp.live_points()
+        other = other[~snap_set[other]]
+        moved = [int(p) for p in other]
+        if moved:
+            T_bef_arr = np.zeros((mp.kf_pose.shape[0], 3, 4), np.float32)
+            T_new_arr = np.zeros_like(T_bef_arr)
+            has = np.zeros(mp.kf_pose.shape[0], bool)
+            for k in T_new:
+                T_bef_arr[k] = T_bef[k]
+                T_new_arr[k] = T_new[k]
+                has[k] = True
+            refs = mp.pt_ref_kf[moved]
+            ok = (refs >= 0) & has[np.maximum(refs, 0)]
+            sel = np.asarray(moved)[ok]
+            if len(sel):
+                r = refs[ok]
+                x = mp.pt_xyz[sel]
+                Rb = T_bef_arr[r, :, :3]
+                tb = T_bef_arr[r, :, 3]
+                x_cam = np.einsum("nij,nj->ni", Rb, x) + tb
+                Rn = T_new_arr[r, :, :3]
+                tn = T_new_arr[r, :, 3]
+                x_new = np.einsum("nji,nj->ni", Rn, x_cam - tn)
+                mp.pt_xyz[sel] = x_new.astype(np.float32)
+
+        # 4. Publish + re-anchor the tracker off the newest corrected KF.
+        all_k = np.asarray(sorted(T_new), np.int64)
+        for k in all_k:
+            mp.kf_pose[k] = T_new[int(k)]
+        mp.mark_kf_pose_dirty(all_k)
+        mp.mark_points_dirty(mp.live_points())
+        mp.big_change_idx += 1
+        self.n_gba_applied += 1
+        _dbg(
+            f"GBA applied: {len(job.kfs)} snap KFs, "
+            f"{len(T_new) - len([k for k in job.kfs if int(k) in T_new])} replayed"
+        )
+        if self.on_pose_correction is not None:
+            anchor = int(all_k[np.argmax(mp.kf_serial[all_k])])
+            self.on_pose_correction(anchor, T_bef[anchor], T_new[anchor])

@@ -145,13 +145,16 @@ def _triangulate_pairs_batch(
         )
         # Compact: surviving candidates first (device-side), so the host
         # readback is K rows instead of the full keypoint capacity —
-        # readback bytes, not FLOPs, bound this stage.
+        # readback bytes, not FLOPs, bound this stage. n_good rides along
+        # so the host can COUNT survivors dropped by the cap (metrics
+        # counter tri_compact_dropped — silent truncation is a perf lie).
         order = jnp.argsort(~good)[:TRI_COMPACT_K]
         return (
             order.astype(jnp.int32),
             m.idx[order],
             good[order],
             xw[order],
+            jnp.sum(good).astype(jnp.int32),
         )
 
     # Pairs are independent: run them vmapped (batch_size) instead of the
@@ -230,9 +233,14 @@ def _fuse_pairs_batch(
             nn_ratio=1.0,
         )
         # Compact matches first: the host readback shrinks from the point
-        # capacity to K rows per pair.
+        # capacity to K rows per pair. n_valid rides along so the host can
+        # COUNT matches dropped by the cap (metrics counter
+        # fuse_compact_dropped).
         order = jnp.argsort(~m.valid)[:FUSE_COMPACT_K]
-        return order.astype(jnp.int32), m.idx[order], m.valid[order]
+        return (
+            order.astype(jnp.int32), m.idx[order], m.valid[order],
+            jnp.sum(m.valid).astype(jnp.int32),
+        )
 
     # Independent pairs: vmap in chunks of 8 (a full vmap over the 32-pair
     # capacity would hold ~1 GB of (point_cap, kp_cap) distance matrices
@@ -470,7 +478,12 @@ class LocalMapping:
         k1, ks, k2s, pair_valid, fut = self._pending_tri
         self._pending_tri = None
         mp = self.map
-        src1, idx2, good, xw = fut.result()  # (P,K) (P,K) (P,K) (P,K,3)
+        src1, idx2, good, xw, n_good = fut.result()  # (P,K) x4 + (P,)
+        dropped = int(
+            np.maximum(n_good[pair_valid] - good.shape[1], 0).sum()
+        )
+        if dropped and self.metrics is not None:
+            self.metrics.count("tri_compact_dropped", dropped)
         # Vectorized insertion (the reference creates MapPoints one at a
         # time in the neighbor loop, LocalMapping.cc:286-449; a Python loop
         # here cost ~300 ms/keyframe at map scale).
@@ -571,6 +584,8 @@ class LocalMapping:
         n_real = min(len(live_pairs), P)
         if len(live_pairs) > P:
             _dbg(f"fuse: dropping {len(live_pairs) - P} pairs beyond cap {P}")
+            if self.metrics is not None:
+                self.metrics.count("fuse_pairs_dropped", len(live_pairs) - P)
             live_pairs = live_pairs[:P]
             pts_per_pair = pts_per_pair[:P]
         while len(live_pairs) < P:
@@ -611,7 +626,12 @@ class LocalMapping:
         kf, live_pairs, pts_arr, n_real, fut = self._pending_fuse
         self._pending_fuse = None
         mp = self.map
-        src_rows, m_idx, m_valid = fut.result()
+        src_rows, m_idx, m_valid, n_valid = fut.result()
+        dropped = int(
+            np.maximum(n_valid[:n_real] - m_valid.shape[1], 0).sum()
+        )
+        if dropped and self.metrics is not None:
+            self.metrics.count("fuse_compact_dropped", dropped)
         for pi in range(n_real):
             _, dst = live_pairs[pi]
             pts = pts_arr[pi]

@@ -389,6 +389,76 @@ def optimize(
     return cam_T, points
 
 
+def sort_by_point(p: BAProblem) -> BAProblem:
+    """Sort observations by (point, camera) so per-point segment_sums take
+    XLA's sorted fast path (optimize() does this internally; the chunked
+    lm_step API expects the caller to sort ONCE up front)."""
+    C = p.cam_T.shape[0]
+    perm = jnp.argsort(p.obs_pt * C + p.obs_cam)
+    return p._replace(
+        obs_cam=p.obs_cam[perm],
+        obs_pt=p.obs_pt[perm],
+        obs_uv=p.obs_uv[perm],
+        obs_stereo=p.obs_stereo[perm],
+        obs_inv_sigma2=p.obs_inv_sigma2[perm],
+        obs_valid=p.obs_valid[perm],
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("use_huber", "chi2_mono", "chi2_stereo"),
+)
+def stage_error(
+    p: BAProblem,
+    use_huber: bool = True,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+) -> jnp.ndarray:
+    """Initial total error for an LM stage (pairs with lm_step)."""
+    return _total_error(
+        p, p.cam_T, p.points, use_huber, chi2_mono, chi2_stereo
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "use_huber", "chi2_mono", "chi2_stereo", "pcg_iters", "schur",
+    ),
+)
+def lm_step(
+    p: BAProblem,
+    lam: jnp.ndarray,
+    err: jnp.ndarray,
+    use_huber: bool = True,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    pcg_iters: int = 40,
+    schur: str = "pcg",
+):
+    """ONE damped LM iteration with accept/reject, as a standalone jitted
+    program: the incremental (spread-across-frames) global BA dispatches
+    one of these per tracked frame instead of a single monolithic solve,
+    so tracking programs interleave with the solve on the device — the
+    functional analog of the reference's background GBA thread
+    (LoopClosing.cc:645-749). The problem must be pre-sorted with
+    sort_by_point(). Returns (cam_T, points, lam, err)."""
+    new_T, new_pts, _, _ = ba_iteration(
+        p, lam, use_huber, chi2_mono, chi2_stereo, pcg_iters,
+        schur=schur, obs_pt_sorted=True,
+    )
+    new_err = _total_error(
+        p, new_T, new_pts, use_huber, chi2_mono, chi2_stereo
+    )
+    accept = new_err < err
+    cam_T = jnp.where(accept, new_T, p.cam_T)
+    points = jnp.where(accept, new_pts, p.points)
+    lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+    err = jnp.where(accept, new_err, err)
+    return cam_T, points, lam, err
+
+
 def classify_inliers(
     p: BAProblem, chi2_mono: float = 5.991, chi2_stereo: float = 7.815
 ) -> jnp.ndarray:

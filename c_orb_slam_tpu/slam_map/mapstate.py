@@ -63,6 +63,11 @@ class MapState:
     pt_visible: np.ndarray = None  # (Np,) times predicted visible
     pt_found: np.ndarray = None  # (Np,) times actually matched
     pt_replaced_by: np.ndarray = None  # (Np,) forwarding index or -1
+    # Monotonic insertion serial per point slot (-1 when dead). Point
+    # slots recycle like keyframe slots, so any snapshot taken across
+    # frames (e.g. the background global-BA epoch) must verify identity
+    # by serial, never by slot id.
+    pt_serial: np.ndarray = None  # (Np,) int64
     # Observations: point -> list of (kf, feature_idx)
     pt_obs_kf: np.ndarray = None  # (Np, MaxObs) int32, -1 empty
     pt_obs_feat: np.ndarray = None  # (Np, MaxObs)
@@ -75,6 +80,7 @@ class MapState:
 
     n_keyframes: int = 0
     n_added_keyframes: int = 0  # monotonic; source of kf_serial
+    n_added_points: int = 0  # monotonic; source of pt_serial
     # Slots of recently added keyframes, appended by add_keyframe; the
     # System drains this to route new KFs into the mapping pipeline
     # (slot reuse makes "n_keyframes grew" an unreliable signal).
@@ -133,6 +139,7 @@ class MapState:
         self.pt_visible = np.ones(Np, i32)
         self.pt_found = np.ones(Np, i32)
         self.pt_replaced_by = np.full(Np, -1, i64)
+        self.pt_serial = np.full(Np, -1, i64)
         self.pt_obs_kf = np.full((Np, Mo), -1, i32)
         self.pt_obs_feat = np.full((Np, Mo), -1, i32)
         self.pt_n_obs = np.zeros(Np, i32)
@@ -327,6 +334,10 @@ class MapState:
         self.pt_visible[idx] = 1
         self.pt_found[idx] = 1
         self.pt_replaced_by[idx] = -1
+        self.pt_serial[idx] = np.arange(
+            self.n_added_points, self.n_added_points + M, dtype=np.int64
+        )
+        self.n_added_points += M
         self.pt_obs_kf[idx] = -1
         self.pt_obs_feat[idx] = -1
         self.pt_n_obs[idx] = 0
@@ -387,6 +398,7 @@ class MapState:
             if kf >= 0 and self.kf_mp[kf, f] == pt:
                 self.kf_mp[kf, f] = -1
         self.pt_valid[pt] = False
+        self.pt_serial[pt] = -1
         self.pt_n_obs[pt] = 0
         self.pt_obs_kf[pt] = -1
         self.pt_obs_feat[pt] = -1
@@ -417,6 +429,7 @@ class MapState:
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_found[new] += self.pt_found[old]
         self.pt_valid[old] = False
+        self.pt_serial[old] = -1
         self.pt_n_obs[old] = 0
         self.pt_obs_kf[old] = -1
         self.pt_replaced_by[old] = new
