@@ -101,3 +101,67 @@ def test_reloc_candidates_rank_true_match(voc):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_dbow2_text_roundtrip(tmp_path):
+    """Write a tiny vocabulary in the DBoW2 text format and check
+    load_dbow2_text + transform against a hand-computed descent
+    (format spec: reference TemplatedVocabulary.h:1338-1424 — header
+    `k L scoring weighting`, then `parent is_leaf d0..d31 weight` per
+    node in creation order, ids implicit from 1)."""
+    import numpy as np
+    from c_orb_slam_tpu.bow.vocab import load_dbow2_text, transform
+
+    def dline(parent, is_leaf, byte, weight):
+        d = " ".join([str(byte)] * 32)
+        return f"{parent} {int(is_leaf)} {d} {weight}"
+
+    # k=2, L=2. Node ids in file order: 1=A, 2=B (children of root 0),
+    # 3=A0, 4=A1 (children of A), 5=B0, 6=B1 (children of B).
+    lines = [
+        "2 2 0 0",
+        dline(0, 0, 0x00, 0.0),    # A: all zeros
+        dline(0, 0, 0xFF, 0.0),    # B: all ones
+        dline(1, 1, 0x00, 0.5),    # A0
+        dline(1, 1, 0x0F, 0.25),   # A1
+        dline(2, 1, 0xF0, 0.75),   # B0
+        dline(2, 1, 0xFF, 1.0),    # B1
+    ]
+    p = tmp_path / "voc.txt"
+    p.write_text("\n".join(lines) + "\n")
+
+    voc = load_dbow2_text(str(p), levels_up=1)
+    assert voc.k == 2 and voc.L == 2 and voc.n_words == 4
+    np.testing.assert_allclose(
+        np.asarray(voc.word_weight), [0.5, 0.25, 0.75, 1.0]
+    )
+    # Dense layout: level 0 = [A, B], level 1 = [A0, A1, B0, B1].
+    lvl0 = np.asarray(voc.levels[0]).view(np.uint8).reshape(2, 32)
+    lvl1 = np.asarray(voc.levels[1]).view(np.uint8).reshape(4, 32)
+    assert (lvl0[0] == 0x00).all() and (lvl0[1] == 0xFF).all()
+    assert (lvl1[1] == 0x0F).all() and (lvl1[2] == 0xF0).all()
+
+    # Hand-computed descents: each query is nearest to exactly one leaf.
+    queries8 = np.stack([
+        np.full(32, 0x00, np.uint8),   # -> A -> A0 (word 0)
+        np.full(32, 0x1F, np.uint8),   # -> A (dist 160 vs 96... ) see below
+        np.full(32, 0xF8, np.uint8),   # -> B -> B0 (word 2)
+        np.full(32, 0xFF, np.uint8),   # -> B -> B1 (word 3)
+    ])
+    # Query 1 (0x1F = 5 bits): dist to A = 5*32, to B = 3*32 -> B; then
+    # dist to B0 (0xF0) = bits(0xEF)*32 = 224, to B1 (0xFF) =
+    # bits(0xE0)*32 = 96 -> B1 (word 3). Query 2 (0xF8 = 5 bits):
+    # B wins (96 < 160); B0 (bits(0x08)=1) beats B1 (bits(0x07)=3).
+    expect_words = [0, 3, 2, 3]
+    desc = jnp.asarray(
+        np.ascontiguousarray(queries8).view(np.uint32).reshape(-1, 8)
+    )
+    fb = transform(voc, desc, jnp.ones(4, bool))
+    np.testing.assert_array_equal(np.asarray(fb.word), expect_words)
+    np.testing.assert_allclose(
+        np.asarray(fb.weight),
+        np.asarray(voc.word_weight)[expect_words],
+    )
+    # node ids at node_level=1 (levels_up=1): the level-0 slot of the
+    # chosen branch: A=0, B=1.
+    np.testing.assert_array_equal(np.asarray(fb.node), [0, 1, 1, 1])
