@@ -380,6 +380,11 @@ class LoopClosing:
         cands = self.db.detect_loop_candidates_from(
             score_f, n_f, float(min_score), self.map
         )
+        _dbg(
+            f"detect kf={kf} serial={self.map.kf_serial[kf]}"
+            f" connected={len(connected)} min_score={min_score:.4f}"
+            f" cands={cands}"
+        )
         if not cands:
             self.consistent_groups = []
             return []

@@ -160,12 +160,28 @@ def epipolar_mask(
     return dsqr < thresh_chi2 * sigma2
 
 
-# Opt-in Pallas backend for search_by_projection (ops/pallas_match.py):
-# streams target tiles through VMEM instead of materializing (Q, T)
-# temporaries in HBM. Measured neutral at frame-scale shapes (Q,T ~ 1-8k,
-# where dispatch latency dominates both paths); enable for very large
-# maps or when profiling shows HBM pressure.
+# Pallas backend for search_by_projection (ops/pallas_match.py): streams
+# target tiles through VMEM instead of materializing (Q, T) temporaries
+# in HBM. Measured on the real chip (PALLAS_MATCH_BENCH.json /
+# tools/bench_pallas_match.py): neutral below ~3e7 query*target products
+# (dispatch latency dominates both paths), 1.34x at 8192x5287 and 1.47x
+# at 16384x8192 — so it AUTO-ENABLES on TPU at KITTI-geometry map sizes
+# and stays off below. Env overrides force it on/off everywhere.
 USE_PALLAS = bool(os.environ.get("C_ORB_SLAM_TPU_PALLAS_MATCH"))
+NO_PALLAS = bool(os.environ.get("C_ORB_SLAM_TPU_NO_PALLAS_MATCH"))
+PALLAS_MIN_PRODUCT = 30_000_000
+
+
+def _want_pallas(n_q: int, n_t: int) -> bool:
+    if NO_PALLAS:
+        return False
+    if USE_PALLAS:
+        return True
+    if n_q * n_t < PALLAS_MIN_PRODUCT:
+        return False
+    from c_orb_slam_tpu.ops import pallas_match
+
+    return pallas_match.available()
 
 
 def search_by_projection(
@@ -188,7 +204,7 @@ def search_by_projection(
     Covers reference SearchByProjection variants (ORBmatcher.cc:45-129
     local-map points; :1328-1470 motion model; :1472-1599 reloc).
     """
-    if USE_PALLAS:
+    if _want_pallas(desc_q.shape[0], desc_t.shape[0]):
         from c_orb_slam_tpu.ops import pallas_match
 
         best, idx, second = pallas_match.window_top2(
