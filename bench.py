@@ -1,14 +1,21 @@
-"""Benchmark: end-to-end monocular tracking throughput on one chip.
+"""Benchmark: end-to-end tracking throughput + accuracy on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default run prints ONE JSON line (the driver contract):
+  {"metric", "value", "unit", "vs_baseline", "ate_m", ...}
+for the headline config (mono, 30 Hz TUM-like pacing — the reference's
+real-time bar is dataset-rate tracking, README.md:10; TUM runs at 30 Hz).
 
-Baseline: the reference claims real-time operation at the dataset frame
-rate on an i7-class desktop (README.md:10; TUM runs at 30 Hz) — so
-vs_baseline = tracked_fps / 30. The measured number is the full System
-path per frame (frame build + tracking + mapping stages amortized),
-steady-state after JIT warmup, on pre-rendered frames.
+`python bench.py --all` additionally runs the continuity config (the
+round-1/2 10 Hz fast-motion pacing) and a KITTI-geometry stereo config
+(1241x376, 2000 features, 8 levels, 10 Hz), prints one JSON line per
+config (headline LAST), and rewrites RESULTS.md.
+
+Honesty gates: every config measures ATE against the synthetic ground
+truth and fails (vs_baseline=0) if tracking is lost or ATE exceeds its
+gate — throughput cannot improve by dropping quality.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -19,72 +26,184 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_FPS = 30.0
+
+def _run_config(name, sensor, cam_kwargs, orb_kwargs, n_frames, warmup,
+                dt_frame, speed, ate_gate, baseline_fps, tracking_kwargs=None,
+                baseline=0.2):
+    from c_orb_slam_tpu.config import (
+        CameraConfig, OrbConfig, SlamConfig, Sensor, TrackingConfig,
+    )
+    from c_orb_slam_tpu.io import trajectory as traj_io
+    from c_orb_slam_tpu.system import System
+    from c_orb_slam_tpu.tracking import TrackState
+    from synthetic import blob_world, render_scene, render_stereo_pair, smooth_trajectory
+
+    cam = CameraConfig(**cam_kwargs)
+    cfg = SlamConfig(
+        sensor=sensor, camera=cam, orb=OrbConfig(**orb_kwargs),
+        tracking=TrackingConfig(**(tracking_kwargs or {})),
+    )
+    xw, inten, size = blob_world(400, seed=5)
+    traj = smooth_trajectory(n_frames, speed=speed)
+    K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
+    stereo = sensor == Sensor.STEREO
+    wh = dict(h=cam.height, w=cam.width)
+    frames = []
+    for i in range(n_frames):
+        if stereo:
+            frames.append(render_stereo_pair(
+                xw, inten, size, traj[i], K4, baseline, **wh))
+        else:
+            frames.append(render_scene(xw, inten, size, traj[i], K4, **wh))
+
+    sysm = System(cfg)
+
+    def track(i):
+        if stereo:
+            return sysm.track_stereo(frames[i][0], frames[i][1], i * dt_frame)
+        return sysm.track_monocular(frames[i], i * dt_frame)
+
+    for i in range(warmup):
+        track(i)
+    t0 = time.perf_counter()
+    n_timed = 0
+    for i in range(warmup, n_frames):
+        track(i)
+        n_timed += 1
+    dt = time.perf_counter() - t0
+    fps = n_timed / dt
+
+    rec = {
+        "metric": f"tracked_frames_per_sec_1chip_{name}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 3),
+    }
+    # Quality gates: lost tracking or excess ATE zeroes the score.
+    if sysm.tracker.state != TrackState.OK:
+        rec.update(vs_baseline=0.0, error="tracking lost during bench")
+        return rec
+    poses, stamps = sysm.frame_poses()
+    ids = [int(round(t / dt_frame)) for t in stamps]
+    ate = traj_io.ate_rmse(
+        poses, traj[ids], with_scale=not stereo
+    )
+    rec["ate_m"] = round(float(ate), 4)
+    rec["ate_gate_m"] = ate_gate
+    rec["n_tracked"] = len(poses)
+    if ate > ate_gate:
+        rec.update(vs_baseline=0.0, error=f"ATE {ate:.4f} > gate {ate_gate}")
+    return rec
+
+
+CONFIGS = {
+    # Headline: TUM-like 30 Hz pacing (speed 0.4 = ~0.3-1% of scene depth
+    # per frame, the TUM inter-frame motion at 30 Hz). ATE gate = ~2x the
+    # measured band (0.021-0.033 m scaled across chip runs): it exists to
+    # catch quality rot, not day-to-day mapper nondeterminism.
+    "mono_tum30": dict(
+        sensor="MONOCULAR", n_frames=70, warmup=15, dt_frame=1 / 30.0,
+        speed=0.4, ate_gate=0.05, baseline_fps=30.0,
+        cam_kwargs=dict(fx=500, fy=500, cx=320, cy=240, width=640,
+                        height=480, fps=30),
+        orb_kwargs=dict(n_features=1000, n_levels=8),
+    ),
+    # Continuity with BENCH_r01/r02: 10 Hz fast motion (speed 1.0 = 2-4%
+    # of scene depth per frame).
+    "mono_fast10": dict(
+        sensor="MONOCULAR", n_frames=40, warmup=12, dt_frame=0.1,
+        speed=1.0, ate_gate=0.08, baseline_fps=10.0,
+        cam_kwargs=dict(fx=500, fy=500, cx=320, cy=240, width=640,
+                        height=480, fps=10),
+        orb_kwargs=dict(n_features=1000, n_levels=8),
+    ),
+    # KITTI geometry: 1241x376 stereo, 2000 features, 8 levels, 10 Hz.
+    "stereo_kitti": dict(
+        sensor="STEREO", n_frames=120, warmup=15, dt_frame=0.1,
+        speed=0.5, ate_gate=0.05, baseline_fps=10.0,
+        cam_kwargs=dict(fx=718.856, fy=718.856, cx=607.19, cy=185.22,
+                        width=1241, height=376, fps=10,
+                        bf=718.856 * 0.2),
+        orb_kwargs=dict(n_features=2000, n_levels=8),
+        tracking_kwargs=dict(min_stereo_init_points=60),
+    ),
+}
+
+
+def run_named(name):
+    from c_orb_slam_tpu.config import Sensor
+
+    c = dict(CONFIGS[name])
+    c["sensor"] = getattr(Sensor, c["sensor"])
+    return _run_config(name, **c)
 
 
 def main():
-    from c_orb_slam_tpu.config import CameraConfig, OrbConfig, SlamConfig, Sensor
-    from c_orb_slam_tpu.system import System
-    from synthetic import blob_world, render_scene, smooth_trajectory
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="run every config and rewrite RESULTS.md")
+    ap.add_argument("--config", default=None, choices=list(CONFIGS))
+    args = ap.parse_args()
 
-    cam = CameraConfig(fx=500, fy=500, cx=320, cy=240, width=640, height=480, fps=30)
-    cfg = SlamConfig(
-        sensor=Sensor.MONOCULAR,
-        camera=cam,
-        orb=OrbConfig(n_features=1000, n_levels=8),
-    )
-    # 30 Hz-paced sequence: the reference's real-time bar is dataset-rate
-    # tracking (TUM mono runs at 30 Hz, ~0.3-1% of scene depth per frame).
-    # speed=0.4 matches that inter-frame motion; the earlier bench moved
-    # 2-4% of scene depth per frame — a 10 Hz-paced sequence that
-    # conflated tracking robustness with throughput.
-    n_frames = 70
-    xw, inten, size = blob_world(400, seed=5)
-    traj = smooth_trajectory(n_frames, speed=0.4)
-    K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
-    frames = [render_scene(xw, inten, size, traj[i], K4) for i in range(n_frames)]
-
-    sysm = System(cfg)
-    # Warmup: run the first 15 frames once (compiles every kernel).
-    for i in range(15):
-        sysm.track_monocular(frames[i], i / 30.0)
-
-    # Steady state: time the remaining frames.
-    t0 = time.perf_counter()
-    n_timed = 0
-    for i in range(15, n_frames):
-        sysm.track_monocular(frames[i], i / 30.0)
-        n_timed += 1
-    dt = time.perf_counter() - t0
-    # Guard against benching a lost tracker: a LOST run measures reloc
-    # churn, not tracking throughput.
-    from c_orb_slam_tpu.tracking import TrackState
-
-    if sysm.tracker.state != TrackState.OK:
-        print(
-            json.dumps(
-                {
-                    "metric": "tracked_frames_per_sec_1chip",
-                    "value": 0.0,
-                    "unit": "frames/s",
-                    "vs_baseline": 0.0,
-                    "error": "tracking lost during bench",
-                }
-            )
-        )
+    if args.config:
+        print(json.dumps(run_named(args.config)))
+        return
+    if not args.all:
+        rec = run_named("mono_tum30")
+        # Driver contract: the headline metric keeps its historical name.
+        rec["metric"] = "tracked_frames_per_sec_1chip"
+        print(json.dumps(rec))
         return
 
-    fps = n_timed / dt
-    print(
-        json.dumps(
-            {
-                "metric": "tracked_frames_per_sec_1chip",
-                "value": round(fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
+    recs = {}
+    for name in ("mono_fast10", "stereo_kitti", "mono_tum30"):
+        recs[name] = run_named(name)
+        if name != "mono_tum30":
+            print(json.dumps(recs[name]))
+    _write_results(recs)
+    rec = recs["mono_tum30"]
+    rec["metric"] = "tracked_frames_per_sec_1chip"
+    print(json.dumps(rec))
+
+
+def _write_results(recs):
+    import jax
+
+    dev = str(jax.devices()[0])
+    lines = [
+        "# RESULTS — measured on one chip",
+        "",
+        f"Device: {dev}. Produced by `python bench.py --all` "
+        "(synthetic blob-world sequences, tests/synthetic.py; ATE vs the "
+        "rendered ground-truth trajectory, mono configs Sim3-aligned).",
+        "",
+        "| config | sensor | geometry | pacing | fps | vs dataset rate | ATE | gate |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    meta = {
+        "mono_tum30": ("mono", "640x480, 1000 feat, 8 lv", "30 Hz TUM-like"),
+        "mono_fast10": ("mono", "640x480, 1000 feat, 8 lv", "10 Hz fast (r01/r02 pacing)"),
+        "stereo_kitti": ("stereo", "1241x376, 2000 feat, 8 lv", "10 Hz KITTI-like"),
+    }
+    for name, rec in recs.items():
+        sensor, geom, pace = meta[name]
+        ate = rec.get("ate_m", float("nan"))
+        err = rec.get("error", "")
+        lines.append(
+            f"| {name} | {sensor} | {geom} | {pace} | {rec['value']} | "
+            f"{rec['vs_baseline']}x | {ate} m | {rec.get('ate_gate_m')} m "
+            f"{('FAIL: ' + err) if err else ''}|"
         )
-    )
+    lines += [
+        "",
+        "The loop-closure capability is benchmarked separately: "
+        "tests/test_e2e_loop.py (240-frame outward orbit, ATE before/after "
+        "loop correction) and the default-suite loop test.",
+        "",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines))
 
 
 if __name__ == "__main__":

@@ -211,10 +211,19 @@ class KeyFrameDatabase:
                         best_s, best_k = float(score[g]), g
             acc_best[int(k)] = (acc, best_k)
             best_acc = max(best_acc, acc)
+        # Keep every group above 0.5x the best accumulated score, capped
+        # at the 6 strongest (reference keeps > 0.75x best, :176-193; the
+        # wider funnel is right here because the downstream Sim3 gate is
+        # one cheap batched RANSAC per candidate, and on low-texture-
+        # variety scenes the true loop group often ranks 2nd-4th behind
+        # aliased sectors).
+        ranked = sorted(
+            acc_best.items(), key=lambda kv: -kv[1][0]
+        )
         out = []
         seen = set()
-        for k, (acc, best_k) in acc_best.items():
-            if acc > 0.75 * best_acc and best_k not in seen:
+        for k, (acc, best_k) in ranked:
+            if acc > 0.5 * best_acc and best_k not in seen and len(out) < 6:
                 seen.add(best_k)
                 out.append(best_k)
         return out

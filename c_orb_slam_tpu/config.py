@@ -161,7 +161,11 @@ class TrackingConfig:
     # depth only delays host bookkeeping (keyframe decisions, map
     # updates). 3 covers the ~35-65 ms dispatch->host-visible result
     # latency of a remote-attached chip at ~10-15 ms host work per frame.
-    pipeline_depth: int = 3
+    # 0 = auto: depth 3 on an accelerator backend (there IS readback
+    # latency to hide), lock-step 1 on CPU (no latency to hide, and the
+    # stale bookkeeping of a deep pipeline measurably destabilizes
+    # rotation-heavy sequences while buying nothing).
+    pipeline_depth: int = 0
 
 
 @dataclass(frozen=True)
@@ -231,6 +235,14 @@ class LoopConfig:
     # RANSAC settings (reference: LoopClosing.cc:283 SetRansacParameters).
     sim3_ransac_iters: int = 300
     sim3_min_inlier_frac: float = 0.0
+    # Temporal dead-band for loop CANDIDATES (no reference analog): a
+    # candidate must be at least this many keyframe serials older than
+    # the query. The reference relies on covisibility alone to exclude
+    # recent keyframes (its inverted file skips connected KFs,
+    # KeyFrameDatabase.cc:93-96); with the sparser covisibility graph
+    # here, recent-but-unconnected keyframes score high on BoW (adjacent
+    # sectors look alike) and pollute the consistency chains.
+    candidate_kf_gap: int = 20
 
 
 @dataclass(frozen=True)
@@ -415,5 +427,8 @@ def load_yaml(path: str, sensor: int = Sensor.MONOCULAR) -> SlamConfig:
         # compile-time constant, Tracking.cc:511): lets low-texture
         # sequences lower the stereo/RGBD init gate from YAML.
         min_stereo_init_points=int(g("Tracking.minStereoInitPoints", 500)),
+        velocity_rotation_fraction=float(
+            g("Tracking.velocityRotationFraction", 0.0)
+        ),
     )
     return SlamConfig(sensor=sensor, camera=cam, orb=orb, tracking=tracking)

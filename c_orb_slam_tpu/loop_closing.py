@@ -190,6 +190,11 @@ class LoopClosing:
         # applied background solves.
         self.gba_job: Optional[_GbaJob] = None
         self.n_gba_applied = 0
+        # Detection-scoring readbacks defer (bounded) on accelerator
+        # backends to keep the frame loop non-blocking; on CPU the result
+        # is already local and deferral only adds load-dependent timing
+        # variance (same rationale as LocalMapping._defer_applies).
+        self._defer_detect = jax.default_backend() != "cpu"
         # Set by System so a loop correction also fixes the tracker state.
         self.on_pose_correction = None
         # Fired at the top of _correct_loop, BEFORE any map mutation: the
@@ -306,7 +311,7 @@ class LoopClosing:
         pd = self._pending_detect
         if pd is None:
             return False
-        if not force and not pd[-1].done():
+        if self._defer_detect and not force and not pd[-1].done():
             w_ = getattr(self, "_step_waits", 0)
             if w_ < 5:
                 self._step_waits = w_ + 1
@@ -370,13 +375,21 @@ class LoopClosing:
         min_score = min(cov_scores) if cov_scores else 0.015
 
         # Candidacy excludes the covisible neighborhood + self (the
-        # reference's inverted file skips connected KFs, :93-96).
+        # reference's inverted file skips connected KFs, :93-96) and any
+        # keyframe within the temporal dead-band (see
+        # LoopConfig.candidate_kf_gap).
         score_f = score.copy()
         n_f = n_shared.copy()
         for c in set(connected) | {kf}:
             if 0 <= c < len(score_f):
                 score_f[c] = -1.0
                 n_f[c] = 0
+        recent = (
+            self.map.kf_serial
+            > self.map.kf_serial[kf] - self.cfg.loop.candidate_kf_gap
+        )
+        score_f[recent] = -1.0
+        n_f[recent] = 0
         cands = self.db.detect_loop_candidates_from(
             score_f, n_f, float(min_score), self.map
         )
@@ -401,6 +414,10 @@ class LoopClosing:
             new_groups.append((group, best_count))
             if best_count >= self.cfg.loop.covisibility_consistency_th:
                 enough.append(c)
+        _dbg(
+            "consistency:",
+            [(c, n) for (c, (_, n)) in zip(cands, new_groups)],
+        )
         self.consistent_groups = new_groups
         return enough
 
@@ -439,6 +456,7 @@ class LoopClosing:
             idx2, keep = self._match_by_bow(kf, cand)
             n = int(keep.sum())
             if n < self.cfg.loop.min_bow_matches:
+                _dbg(f"cand {cand}: bow={n} < {self.cfg.loop.min_bow_matches}, reject")
                 continue
 
             # Paired 3D points in each camera frame.
@@ -538,6 +556,14 @@ class LoopClosing:
         """Reference: LoopClosing::CorrectLoop (:402-585)."""
         if self.on_before_correction is not None:
             self.on_before_correction()
+        import time as _time
+        _t0 = _time.perf_counter()
+
+        def _lap(name):
+            nonlocal _t0
+            t = _time.perf_counter()
+            _dbg(f"correct_loop {name}: {(t - _t0) * 1000:.0f} ms")
+            _t0 = t
         mp = self.map
         # Corrected Sim3 pose of the current KF: S_cw = S_cl ∘ S_lw
         # (reference: mg2oScw = gScm * gSmw, LoopClosing.cc:234-239 naming
@@ -547,35 +573,49 @@ class LoopClosing:
         T_cur_old = mp.kf_pose[kf].copy()
 
         # Snapshot all poses before mutation (edge measurements use the
-        # uncorrected geometry, :447-466 NonCorrectedSim3).
+        # uncorrected geometry, :447-466 NonCorrectedSim3) — one batched
+        # from_se3 over the live set.
         live = mp.live_keyframes()
-        S_before = {
-            k: sim3.from_se3(jnp.asarray(mp.kf_pose[k])) for k in live
-        }
+        live_arr = np.asarray(live, np.int64)
+        S_before_live = np.asarray(
+            sim3.from_se3(jnp.asarray(mp.kf_pose[live_arr]))
+        )
+        S_before = {int(k): S_before_live[i] for i, k in enumerate(live_arr)}
 
         # Propagate the correction to the current covisibility group and
-        # their points (:447-516).
+        # their points (:447-516), fully batched: corrected group poses in
+        # one composed sim3 op, point ownership resolved with a
+        # first-owner-wins scatter, all points moved in one op (the
+        # round-3 version looped per keyframe — ~2.5 s of tiny device
+        # calls on a 100-KF group).
         group = [kf] + mp.covisible_keyframes(kf, n=100, min_weight=1)
-        corrected: dict[int, jnp.ndarray] = {}
-        moved_pts: set[int] = set()
-        S_cur_old = S_before[kf]
-        for g in group:
-            S_g_old = S_before[g]
-            S_gc = sim3.compose(S_g_old, sim3.inverse(S_cur_old))
-            S_g_corr = sim3.compose(S_gc, S_cw_corr)
-            corrected[g] = S_g_corr
-            # Move this KF's points: x' = S_corr^-1 (S_old x).
-            pts_g = mp.kf_mp[g]
-            pts_g = np.unique(pts_g[pts_g >= 0])
-            pts_g = pts_g[~np.isin(pts_g, list(moved_pts))] if moved_pts else pts_g
-            if len(pts_g):
-                x_old = sim3.apply(S_g_old, jnp.asarray(mp.pt_xyz[pts_g]))
-                x_new = sim3.apply(sim3.inverse(S_g_corr), x_old)
-                mp.pt_xyz[pts_g] = np.asarray(x_new)
-                mp.mark_points_dirty(pts_g)
-                moved_pts.update(pts_g.tolist())
-            mp.kf_pose[g] = np.asarray(sim3.to_se3(S_g_corr))
-            mp.mark_kf_pose_dirty([g])
+        garr = np.asarray(group, np.int64)
+        S_g_old = jnp.asarray(np.stack([S_before[int(g)] for g in group]))
+        S_cur_old = jnp.asarray(S_before[kf])
+        S_gc = sim3.compose(S_g_old, sim3.inverse(S_cur_old)[None])
+        S_g_corr = sim3.compose(S_gc, jnp.asarray(S_cw_corr)[None])
+        S_g_corr_np = np.asarray(S_g_corr)
+        corrected: dict[int, jnp.ndarray] = {
+            int(g): S_g_corr_np[i] for i, g in enumerate(group)
+        }
+        # Each live point owned by its FIRST group keyframe (group order =
+        # covisibility order, like the sequential loop's first-writer-wins).
+        Np = mp.pt_xyz.shape[0]
+        owner = np.full(Np, -1, np.int32)
+        for i in range(len(group) - 1, -1, -1):
+            pg = mp.kf_mp[group[i]]
+            owner[pg[pg >= 0]] = i
+        sel = np.nonzero(owner >= 0)[0]
+        sel = sel[mp.pt_valid[sel]]
+        if len(sel):
+            oi = owner[sel]
+            x_old = sim3.apply(S_g_old[oi], jnp.asarray(mp.pt_xyz[sel]))
+            x_new = sim3.apply(sim3.inverse(S_g_corr)[oi], x_old)
+            mp.pt_xyz[sel] = np.asarray(x_new)
+            mp.mark_points_dirty(sel)
+        mp.kf_pose[garr] = np.asarray(sim3.to_se3(S_g_corr))
+        mp.mark_kf_pose_dirty(garr)
+        _lap("propagate")
 
         # Fuse: project loop-neighborhood points into each corrected KF and
         # replace duplicates (:518-542 + SearchAndFuse :587-613).
@@ -594,21 +634,25 @@ class LoopClosing:
                 elif cur_p < 0:
                     mp.add_observation(loop_p, g, feat)
         _dbg(f"fused {n_fused} duplicate points")
+        _lap("fuse")
 
         # Refresh covisibility for the group (new loop connections :546-564).
         for g in group:
             mp.update_connections(g)
+        _lap("connections")
 
         # Essential-graph optimization (:567 / Optimizer.cc:781).
         self._optimize_essential_graph(
             kf, loop_kf, S_before, corrected, S_cw_corr
         )
+        _lap("essential_graph")
         self.loop_edges.append((loop_kf, kf))
 
         # Arm the background snapshot-epoch global BA (:579 spawns the
         # GBA thread; a running job is aborted first like :411-423).
         self.gba_job = None
         self._start_gba()
+        _lap("start_gba")
 
         # Let the tracker re-anchor its last pose / velocity.
         if self.on_pose_correction is not None:
@@ -690,7 +734,7 @@ class LoopClosing:
         # loop edge (row 0) instead measures the corrected relative.
         Sj = jnp.asarray(S_before_arr[ej], jnp.float32)
         Si = jnp.asarray(S_before_arr[ei], jnp.float32)
-        meas = np.asarray(sim3.compose(Sj, sim3.inverse(Si)))
+        meas = np.array(sim3.compose(Sj, sim3.inverse(Si)))
         meas[0] = np.asarray(
             sim3.compose(S_cw_corr, sim3.inverse(jnp.asarray(S_before_arr[loop_kf])))
         )

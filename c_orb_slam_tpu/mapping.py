@@ -265,6 +265,20 @@ class LocalMapping:
         # a fresh ~3 ms transfer on a remote-attached chip.
         self._sigma2_dev = jnp.asarray(self.sigma2)
         self._sf_dev = jnp.asarray(self.sf)
+        # Deferred (NOT_READY) apply halves hide the readback latency and
+        # let XLA's async execution overlap mapping compute with tracking
+        # (blocking applies measured ~4x the CPU frame time). The latency
+        # this adds is bounded by _MAX_WAITS, and the System's thin-margin
+        # catch-up drain (system.py) rescues tracking deterministically
+        # when mapping falls behind under load.
+        self._defer_applies = True
+        # On CPU the per-frame budget counts STAGES, not wall-clock ms: a
+        # wall-clock budget makes mapping progress depend on machine load
+        # (measured: the orbit e2e flipped between clean and lost runs
+        # purely with background contention).
+        self._stage_budget = (
+            None if jax.default_backend() != "cpu" else 4
+        )
         # Pipeline state: pending keyframes + remaining stages of the one
         # being processed (reference: the LocalMapping thread's queue,
         # LocalMapping.cc:114-119; stage interleaving replaces the thread,
@@ -301,7 +315,20 @@ class LocalMapping:
         frames. (The earlier one-stage-per-frame schedule kept the mapper
         'busy' for ~10 frames per keyframe, which suppressed the c1b
         keyframe condition until tracking was nearly starved —
-        keyframes arrived reactively instead of proactively.)"""
+        keyframes arrived reactively instead of proactively.)
+
+        The budget scales with queue depth: a backed-up mapper is behind
+        the map's needs (its new points arrive late, starving tracking),
+        so it spends more of each frame catching up until the queue
+        clears. Host-side wall clock only — the device work is async."""
+        q = len(self.queue)
+        if q:
+            budget_ms = min(budget_ms * (1 + q), 40.0)
+        stage_budget = (
+            None if self._stage_budget is None
+            else self._stage_budget * (1 + q)
+        )
+        n_stages = 0
         t_start = time.perf_counter()
         while True:
             if not self._stages:
@@ -317,11 +344,14 @@ class LocalMapping:
                 self._stages = [
                     ("cull_pts", lambda k=kf: self._cull_recent_points(k)),
                     ("tri_dispatch", lambda k=kf: self._triangulate_dispatch(k)),
-                    ("tri_apply", lambda: self._triangulate_apply(defer_ok=True)),
+                    ("tri_apply", lambda: self._triangulate_apply(
+                        defer_ok=self._defer_applies)),
                     ("fuse_dispatch", lambda k=kf: self._fuse_dispatch(k)),
-                    ("fuse_apply", lambda: self._fuse_apply(defer_ok=True)),
+                    ("fuse_apply", lambda: self._fuse_apply(
+                        defer_ok=self._defer_applies)),
                     ("ba_dispatch", lambda k=kf: self._ba_dispatch_if_ready(k)),
-                    ("ba_apply", lambda: self._ba_apply(defer_ok=True)),
+                    ("ba_apply", lambda: self._ba_apply(
+                        defer_ok=self._defer_applies)),
                     ("finish_kf", lambda k=kf: self._finish_keyframe(k)),
                 ]
             name, fn = self._stages[0]
@@ -335,7 +365,11 @@ class LocalMapping:
                 # the frame loop its slot back (bounded by _MAX_WAITS).
                 return
             self._stages.pop(0)
-            if (time.perf_counter() - t_start) * 1000.0 > budget_ms:
+            n_stages += 1
+            if stage_budget is not None:
+                if n_stages >= stage_budget:
+                    return
+            elif (time.perf_counter() - t_start) * 1000.0 > budget_ms:
                 return
 
     def drain(self):

@@ -420,6 +420,34 @@ def _run(pp: ba.BAProblem, mesh: Mesh, iters_first, iters_second, pcg_iters,
     )
 
 
+def lower_solve(pp: ba.BAProblem, mesh: Mesh, iters_first, iters_second,
+                pcg_iters, chi2_mono: float = 5.991,
+                chi2_stereo: float = 7.815):
+    """jax.jit-lowered (unexecuted) solve on an already-partitioned
+    problem — lets tools inspect the compiled HLO (collective accounting
+    in tools/weak_scaling.py) without running it."""
+    sh = functools.partial(
+        _ba_spmd_body,
+        iters_first=iters_first, iters_second=iters_second,
+        pcg_iters=pcg_iters, chi2_mono=chi2_mono, chi2_stereo=chi2_stereo,
+    )
+    rep = P()
+    shd = P(AXIS)
+    fn = jax.shard_map(
+        sh,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, shd, shd, shd, shd, shd, shd, shd, shd,
+                  rep, rep),
+        out_specs=(rep, shd, shd, rep),
+        check_vma=False,
+    )
+    return jax.jit(fn).lower(
+        pp.cam_T, pp.cam_fixed, pp.cam_valid, pp.points, pp.point_valid,
+        pp.obs_cam, pp.obs_pt, pp.obs_uv, pp.obs_stereo, pp.obs_inv_sigma2,
+        pp.obs_valid, pp.K, jnp.asarray(pp.bf, jnp.float32),
+    )
+
+
 def sharded_bundle_adjust(
     p: ba.BAProblem,
     mesh: Mesh | None = None,

@@ -157,8 +157,25 @@ class System:
             # back (the tracker applies them at frame t+1) — the host-loop
             # analog of the reference's concurrent LocalMapping thread
             # (LocalMapping.cc:47).
-            with self.metrics.stage("mapping_stage"):
-                self.local_mapping.step()
+            # Thin tracking margin while the mapper is behind: spend one
+            # slow frame draining it so new triangulated points land
+            # BEFORE the view moves on (the latency analog of the
+            # reference's in-thread mapper finishing a keyframe in one
+            # slice while Tracking blocks on mMutexMapUpdate). This is
+            # the deterministic rescue that makes tracking robust to
+            # mapping falling behind under machine load.
+            thin = (
+                self.tracker.state == TrackState.OK
+                and self.tracker.current_inliers
+                < 2 * self.cfg.tracking.min_inliers_local_map
+                and self.local_mapping.queue_len() > 0
+            )
+            if thin:
+                with self.metrics.stage("mapping_catchup"):
+                    self.local_mapping.drain()
+            else:
+                with self.metrics.stage("mapping_stage"):
+                    self.local_mapping.step()
             if self.loop_closing is not None:
                 with self.metrics.stage("loop_stage"):
                     self.loop_closing.step()

@@ -474,7 +474,9 @@ class Tracking:
         # remote-attached chip (~35-65 ms measured, vs ~5-20 ms of host
         # work per frame — one frame of overlap was not enough).
         self._pending = collections.deque()
-        self.pipeline_depth = cfg.tracking.pipeline_depth
+        self.pipeline_depth = cfg.tracking.pipeline_depth or (
+            3 if jax.default_backend() != "cpu" else 1
+        )
         # Device pose chain (chain_pose_t, pose_{t-1}) of the most recent
         # dispatch; None whenever the last pose did not come from the
         # steady fused path (recovery, sync fallback, loop correction).
@@ -1327,6 +1329,7 @@ class Tracking:
             if best is None or n > best[0]:
                 best = (n, k, m_idx, m_valid)
         if best is None or best[0] < 15:
+            _dbg(f"reloc: best bow match {best[0] if best else 0} < 15")
             return False, None, None
         _, k, m_idx, ok_np = best
         kf_mp = self.map.kf_mp[k]
@@ -1347,6 +1350,7 @@ class Tracking:
         )
         res_ok, res_inliers, res_pose = fetch(res.ok, res.inliers, res.pose)
         if not bool(res_ok):
+            _dbg(f"reloc: kf {k} matches={best[0]} pnp failed")
             return False, None, None
         cur_mp = np.full(f.xy.shape[0], -1, np.int64)
         inl = res_inliers & (sel >= 0)
@@ -1354,6 +1358,7 @@ class Tracking:
         pose, pin, n = self._optimize_frame_pose(f, res_pose, cur_mp)
         cur_mp[~pin] = -1
         if n < self.cfg.tracking.min_inliers_pose:
+            _dbg(f"reloc: kf {k} pose-opt inliers {n} < min")
             return False, None, None
         # Guided-reprojection widening (reference: Tracking.cc:1441-1480):
         # when the pose is supported by too few inliers, project the
@@ -1366,7 +1371,9 @@ class Tracking:
                 pose, cur_mp, n = self._reloc_widen(f, pose, cur_mp, k, 3.0)
         # Final acceptance at >=50 inliers (reference: Tracking.cc:1483).
         if n < need:
+            _dbg(f"reloc: kf {k} widened inliers {n} < {need}")
             return False, None, None
+        _dbg(f"reloc OK: kf {k} inliers {n}")
         return True, pose, cur_mp
 
     def _reloc_widen(self, f, pose, cur_mp, k: int, radius: float):
@@ -1530,7 +1537,15 @@ class Tracking:
         if n_kf == 0:
             return False
         mapper = getattr(self, "mapper", None)
-        idle = mapper.idle() if mapper is not None else True
+        # "Accepting keyframes" (reference: AcceptKeyFrames,
+        # LocalMapping.cc:55,103): the reference's mapper drains a whole
+        # keyframe in one slice, so it is idle between keyframes; our
+        # budget-sliced mapper is mid-stage most frames BY DESIGN, and
+        # gating c1b on full drain starved keyframe creation down to the
+        # c1a floor (~1 KF per max_frames — halved cadence, collapsed
+        # covisibility, killed loop detection). No QUEUED keyframe is the
+        # equivalent signal; stage-in-flight is the normal state.
+        idle = mapper.queue_len() == 0 if mapper is not None else True
         frames = self.frame_id - self.last_kf_frame_id
         # Matches the reference keyframe currently tracks.
         ref_matches = (self.map.kf_mp[self.ref_kf] >= 0).sum() if self.ref_kf >= 0 else 0
@@ -1553,9 +1568,13 @@ class Tracking:
         # (Tracking.cc:1039-1057). Deviation: monocular also queues (with a
         # tighter bound) — dropping starves the pipelined mapper and loses
         # tracking where the reference's fast in-thread mapper would not.
-        if c1a or urgent:
-            return True
+        # The queue cap binds EVERY insertion (urgency only raises it):
+        # an uncapped urgent path measured a 28-deep queue on the orbit
+        # e2e — triangulated points then arrive ~30 frames late, tracking
+        # starves further, and the urgency flood self-sustains.
         limit = 2 if self.cfg.sensor == Sensor.MONOCULAR else 3
+        if c1a or urgent:
+            limit += 2
         return mapper.queue_len() < limit
 
     def _create_keyframe(self, f, cur_mp):

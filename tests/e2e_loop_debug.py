@@ -47,7 +47,7 @@ def orbit_world(n=900, r_path=8.0, seed=7):
     return xw, intensity, world_size
 
 
-def orbit_trajectory(n_frames, r_path=8.0, frac=1.08):
+def orbit_trajectory(n_frames, r_path=8.0, frac=1.18):
     """World->cam poses on a circle of radius r_path, camera looking
     radially outward; frac > 1 overlaps the start sector at the end."""
     poses = []
@@ -66,7 +66,7 @@ def orbit_trajectory(n_frames, r_path=8.0, frac=1.08):
 
 
 def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
-        vel_rot=0.5, scale=1.0):
+        vel_rot=0.5, scale=1.0, world_n=900, world_seed=7):
     """scale < 1 shrinks the image (and intrinsics) for a faster run."""
     cam = CameraConfig(
         fx=500 * scale, fy=500 * scale, cx=320 * scale, cy=240 * scale,
@@ -82,23 +82,30 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
         # TrackingConfig.velocity_rotation_fraction); zero extrapolation
         # cannot bridge the orbit's steady yaw. 0.5 tracks the whole orbit.
         tracking=TrackingConfig(
-            min_stereo_init_points=60, velocity_rotation_fraction=vel_rot
+            min_stereo_init_points=60, velocity_rotation_fraction=vel_rot,
+            max_frames_between_kf=10,
         ),
     )
-    xw, inten, size = orbit_world()
+    xw, inten, size = orbit_world(n=world_n, seed=world_seed)
     traj = orbit_trajectory(n_frames)
     K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
 
     sysm = System(cfg)
     t0 = time.time()
     loops_at = []
+    frame_times = []
+    lost_frames = []
     for i in range(n_frames):
+        tf0 = time.perf_counter()
         if sensor == Sensor.STEREO:
             left, right = render_stereo_pair(xw, inten, size, traj[i], K4, BASELINE)
             pose = sysm.track_stereo(left, right, i * 0.1)
         else:
             img = render_scene(xw, inten, size, traj[i], K4)
             pose = sysm.track_monocular(img, i * 0.1)
+        frame_times.append(time.perf_counter() - tf0)
+        if pose is None:
+            lost_frames.append(i)
         n_loops = sysm.loop_closing.n_loops_closed if sysm.loop_closing else 0
         if loops_at and n_loops > len(loops_at) or (not loops_at and n_loops):
             loops_at.append(i)
@@ -119,6 +126,10 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
             )
     dt = time.time() - t0
 
+    # Settle the pipelines (incl. any in-flight background global BA) the
+    # way the reference's Shutdown waits for its GBA thread
+    # (System.cc:313) before trajectories are exported.
+    sysm.shutdown()
     poses, stamps = sysm.frame_poses()
     ids = [int(round(t * 10)) for t in stamps]  # stamps are i*0.1
     gt = traj[ids]
@@ -130,6 +141,14 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
         f" ATE{'(scaled)' if with_scale else ''} = {ate:.4f} m"
     )
     print(f"wall: {dt:.1f}s ({dt/n_frames*1000:.0f} ms/frame)")
+    # Per-frame wall times (frame build + track + mapping/loop stages),
+    # exposed for the loop-event latency assertion in test_e2e_loop.
+    run.last_frame_times = frame_times
+    run.last_loops_at = loops_at
+    run.last_lost_frames = lost_frames
+    run.last_n_gba_applied = (
+        sysm.loop_closing.n_gba_applied if sysm.loop_closing else 0
+    )
     return ate, n_loops, len(poses), n_frames
 
 

@@ -48,7 +48,14 @@ def run(sensor=Sensor.STEREO, n_frames=30, n_feat=800, verbose=True):
         orb=OrbConfig(n_features=n_feat, n_levels=4),
         # Synthetic frames yield ~200-400 keypoints, far below the
         # reference's 500-point stereo-init gate (Tracking.cc:511).
-        tracking=TrackingConfig(min_stereo_init_points=60),
+        # velocity_rotation_fraction matches e2e_loop_debug so BOTH
+        # drivers (and the stereo-KITTI CLI test's YAML) share one
+        # SlamConfig -> one compiled program set per suite run (cfg is a
+        # static jit arg; any field difference recompiles everything).
+        tracking=TrackingConfig(
+            min_stereo_init_points=60, velocity_rotation_fraction=0.5,
+            max_frames_between_kf=10,
+        ),
     )
     xw, inten, size = blob_world(400, seed=5)
     traj = smooth_trajectory(n_frames)

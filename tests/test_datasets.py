@@ -52,6 +52,7 @@ ORBextractor.nLevels: 4
 ORBextractor.iniThFAST: 20
 ORBextractor.minThFAST: 7
 Tracking.minStereoInitPoints: 60
+Tracking.velocityRotationFraction: 0.5
 """
 
 

@@ -1,33 +1,56 @@
-"""Full loop-closure integration test (M4): outward-facing stereo orbit that
-revisits its start sector after ~220 frames.
+"""Full loop-closure integration test (M4): outward-facing stereo orbit
+that revisits its start sector in its last ~35 frames.
 
-Exercises: BoW loop detection with covisibility consistency -> Sim3 RANSAC +
-GN polish -> loop correction/fusion -> essential-graph optimization ->
-global BA -> trajectory reconstruction through corrected keyframe poses.
+Exercises the flagship capability END TO END, in the default suite: BoW
+loop detection with covisibility consistency -> Sim3 RANSAC + GN polish
+-> loop correction/fusion -> essential-graph optimization -> background
+snapshot-epoch global BA (chunked one LM step per frame, applied with
+spanning-tree replay) -> trajectory reconstruction through corrected
+keyframe poses.
 
-~13 minutes on CPU, so opt-in: RUN_SLOW=1 python -m pytest tests/test_e2e_loop.py
-Reference result (2026-08-17): 240/240 tracked, 1 loop closed at frame 220,
-ATE 0.0785 m absolute over a ~50 m orbit.
+Counterfactuals measured 2026-08-21 (CPU, world_n=1400): no loop ATE
+0.762 m; loop + essential graph only 0.598 m; + background GBA 0.252 m.
+The ATE gate (0.4 m) therefore FAILS if loop correction stops working.
+
+~2.5-3 min on CPU with a warm compile cache.
 """
 
-import os
-
+import numpy as np
 import pytest
 
 import e2e_loop_debug
 from c_orb_slam_tpu.config import Sensor
 
 
-@pytest.mark.skipif(
-    not os.environ.get("RUN_SLOW"), reason="slow (~13 min); set RUN_SLOW=1"
-)
-def test_stereo_orbit_closes_loop():
-    ate, n_loops, n_ok, n = e2e_loop_debug.run(Sensor.STEREO, verbose=False)
+def test_stereo_orbit_closes_loop_nonblocking():
+    ate, n_loops, n_ok, n = e2e_loop_debug.run(
+        Sensor.STEREO, n_frames=240, verbose=False, world_n=1400
+    )
+    run = e2e_loop_debug.run
     assert n_ok > 0.9 * n, f"tracked only {n_ok}/{n} frames"
     assert n_loops >= 1, "no loop closed"
-    assert ate < 0.2, f"ATE {ate:.4f} m (absolute)"
+    # Well below the measured no-loop counterfactual (0.76 m): the gate
+    # fails if loop correction stops improving the trajectory.
+    assert ate < 0.4, f"ATE {ate:.4f} m (absolute; no-loop baseline ~0.76)"
+    # The background snapshot-epoch global BA must have completed and
+    # been applied (serial-guarded writes + spanning-tree replay).
+    assert run.last_n_gba_applied >= 1, "background GBA never applied"
+    # Non-blocking property: the whole essential-graph + GBA load must
+    # NOT land on arbitrary frames. The correction frame itself pays the
+    # (compile-heavy on CPU) sync Sim3 + essential graph; every OTHER
+    # frame stays bounded — with the old synchronous in-loop GBA the
+    # solve (~20-30 s) landed on one post-loop frame and trips this.
+    t = np.asarray(run.last_frame_times)
+    loop_frames = set(run.last_loops_at)
+    others = np.asarray(
+        [ms for i, ms in enumerate(t) if i not in loop_frames and i > 5]
+    )
+    med = float(np.median(others))
+    assert others.max() < max(6 * med, 12.0), (
+        f"frame {others.argmax()} took {others.max():.1f}s "
+        f"(median {med:.2f}s) outside the loop-event frame"
+    )
 
 
 if __name__ == "__main__":
-    os.environ.setdefault("RUN_SLOW", "1")
     pytest.main([__file__, "-q", "-x"])

@@ -67,6 +67,56 @@ def make_problem(C, Pn, O, seed=0):
     )
 
 
+def collective_bytes(d: int, obs_per_dev: int, pts_per_dev: int, cams: int):
+    """Account the compiled program's collective traffic from its
+    optimized HLO: total bytes moved by all-gather / reduce-scatter /
+    all-reduce per solve, at mesh size d.
+
+    This is the measurement a shared-core virtual mesh CAN make honestly:
+    the sharded-BA design claims per-PCG-iteration collective volume
+    O(cameras), independent of the (per-device) observation count — so
+    doubling obs_per_dev must leave the collective bytes unchanged, and
+    growing the mesh must grow them at most linearly in mesh size (the
+    replicated-camera all-gather).
+    """
+    import re
+
+    import jax
+    import numpy as np
+
+    from c_orb_slam_tpu.parallel import sharded_ba
+
+    p = make_problem(cams, pts_per_dev * d, obs_per_dev * d)
+    mesh = sharded_ba.make_mesh(np.asarray(jax.devices()[:d]))
+    pp = sharded_ba.partition_problem(p, d)
+    import jax.numpy as jnp
+
+    pp = jax.tree.map(jnp.asarray, pp)
+    # StableHLO (pre-backend): collective ops appear as
+    # stablehlo.all_gather / reduce_scatter / all_reduce with the result
+    # type after '->'. Counts are static per trace — lax.scan bodies count
+    # once — so the numbers compare shapes/volume across mesh sizes, not
+    # absolute executed bytes.
+    text = sharded_ba.lower_solve(pp, mesh, 3, 3, 20).as_text()
+    nbytes = 0
+    counts = {}
+    for m in re.finditer(
+        r"stablehlo\.(all_gather|reduce_scatter|all_reduce"
+        r"|collective_permute)\"?[^\n]*->\s*tensor<([0-9x]*)x?(\w+)>",
+        text,
+    ):
+        op, dims, dtype = m.group(1), m.group(2), m.group(3)
+        n = 1
+        for x in dims.split("x"):
+            if x:
+                n *= int(x)
+        size = {"f32": 4, "bf16": 2, "f64": 8, "i32": 4, "ui32": 4,
+                "i1": 1}.get(dtype, 4)
+        nbytes += n * size
+        counts[op] = counts.get(op, 0) + 1
+    return nbytes, counts
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -127,6 +177,23 @@ def main():
                 }
             )
         )
+    # Collective-traffic accounting from compiled HLO: the check a
+    # shared-core virtual mesh CAN make honestly (see collective_bytes).
+    if not args.tpu:
+        acct = {}
+        for d in [x for x in args.devices if 1 < x <= avail]:
+            b1, c1 = collective_bytes(d, args.obs_per_dev, args.pts_per_dev,
+                                      args.cams)
+            b2, _ = collective_bytes(d, args.obs_per_dev * 2,
+                                     args.pts_per_dev, args.cams)
+            acct[f"{d}dev"] = {
+                "collective_bytes": b1,
+                "collective_bytes_2x_obs": b2,
+                "obs_independent": bool(b2 == b1),
+                "ops": c1,
+            }
+        print(json.dumps({"collective_accounting": acct}))
+
     if len(results) >= 2:
         t1 = results[0][1]
         eff = {f"{d}x": round(t1 / t, 3) for d, t in results}
