@@ -82,6 +82,11 @@ def run_sequence(
     print(f"median tracking time: {tt[len(tt) // 2]:.4f}")
     print(f"mean tracking time: {tt.mean():.4f}")
 
+    # Settle tracking/mapping/loop pipelines (incl. any in-flight
+    # background global BA) BEFORE exporting trajectories — the
+    # reference's Shutdown likewise waits out its GBA thread
+    # (System.cc:313) ahead of the example mains saving.
+    sysm.shutdown()
     if args:
         if kitti_format:
             sysm.save_trajectory_kitti(args.out)
@@ -92,5 +97,4 @@ def run_sequence(
         if args.save_map:
             sysm.save_map(args.save_map)
             print(f"map saved to {args.save_map}")
-    sysm.shutdown()
     return sysm

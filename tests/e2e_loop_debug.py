@@ -95,6 +95,7 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
     loops_at = []
     frame_times = []
     lost_frames = []
+    gba_at = []
     for i in range(n_frames):
         tf0 = time.perf_counter()
         if sensor == Sensor.STEREO:
@@ -106,6 +107,8 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
         frame_times.append(time.perf_counter() - tf0)
         if pose is None:
             lost_frames.append(i)
+        if sysm.loop_closing and sysm.loop_closing.n_gba_applied > len(gba_at):
+            gba_at.append(i)
         n_loops = sysm.loop_closing.n_loops_closed if sysm.loop_closing else 0
         if loops_at and n_loops > len(loops_at) or (not loops_at and n_loops):
             loops_at.append(i)
@@ -149,6 +152,7 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
     run.last_n_gba_applied = (
         sysm.loop_closing.n_gba_applied if sysm.loop_closing else 0
     )
+    run.last_gba_at = gba_at
     return ate, n_loops, len(poses), n_frames
 
 

@@ -198,3 +198,30 @@ class TestBA:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+class TestChunkedLM:
+    """The spread-across-frames GBA path (optim.ba.lm_step) must compute
+    the SAME schedule as the monolithic optimize() loop."""
+
+    def test_lm_step_matches_optimize(self):
+        p, traj, xw_true = TestBA()._make_problem(n_cams=5, n_pts=120)
+        iters = 4
+        ref_T, ref_pts = ba.optimize(
+            p, iters=iters, use_huber=True, pcg_iters=15
+        )
+        # Chunked: sort once, then one lm_step per "frame".
+        ps = ba.sort_by_point(p)
+        err = ba.stage_error(ps, use_huber=True)
+        cam_T, points, lam = ps.cam_T, ps.points, jnp.asarray(1e-4, jnp.float32)
+        for _ in range(iters):
+            pc = ps._replace(cam_T=cam_T, points=points)
+            cam_T, points, lam, err = ba.lm_step(
+                pc, lam, err, use_huber=True, pcg_iters=15
+            )
+        np.testing.assert_allclose(
+            np.asarray(cam_T), np.asarray(ref_T), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(points), np.asarray(ref_pts), atol=1e-4
+        )

@@ -49,10 +49,25 @@ def main():
     dt = time.perf_counter() - t0
     n_timed = n_frames - 12
 
-    print(json.dumps(sysm.metrics.summary(), indent=2))
-    print(f"fps={n_timed/dt:.2f}  median_frame_ms={np.median(per_frame):.1f}  "
-          f"mean={np.mean(per_frame):.1f}  max={np.max(per_frame):.1f}")
-    print("frame times:", " ".join(f"{t:.0f}" for t in per_frame))
+    summary = sysm.metrics.summary()
+    out = {
+        "scenario": "mono 640x480 1000feat 8lv, 10Hz pacing",
+        "n_frames_timed": n_timed,
+        "fps": round(n_timed / dt, 2),
+        "median_frame_ms": round(float(np.median(per_frame)), 1),
+        "mean_frame_ms": round(float(np.mean(per_frame)), 1),
+        "max_frame_ms": round(float(np.max(per_frame)), 1),
+        "stages": summary,
+    }
+    print(json.dumps(out, indent=2))
+    if "--artifact" in sys.argv:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PROFILE_stages.json",
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print("written", path)
 
 
 if __name__ == "__main__":
