@@ -29,7 +29,7 @@ import numpy as np
 
 def _run_config(name, sensor, cam_kwargs, orb_kwargs, n_frames, warmup,
                 dt_frame, speed, ate_gate, baseline_fps, tracking_kwargs=None,
-                baseline=0.2):
+                baseline=0.2, world_n=400, world_x_max=10.0):
     from c_orb_slam_tpu.config import (
         CameraConfig, OrbConfig, SlamConfig, Sensor, TrackingConfig,
     )
@@ -43,7 +43,7 @@ def _run_config(name, sensor, cam_kwargs, orb_kwargs, n_frames, warmup,
         sensor=sensor, camera=cam, orb=OrbConfig(**orb_kwargs),
         tracking=TrackingConfig(**(tracking_kwargs or {})),
     )
-    xw, inten, size = blob_world(400, seed=5)
+    xw, inten, size = blob_world(world_n, seed=5, x_max=world_x_max)
     traj = smooth_trajectory(n_frames, speed=speed)
     K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
     stereo = sensor == Sensor.STEREO
@@ -116,6 +116,20 @@ CONFIGS = {
         cam_kwargs=dict(fx=500, fy=500, cx=320, cy=240, width=640,
                         height=480, fps=10),
         orb_kwargs=dict(n_features=1000, n_levels=8),
+    ),
+    # Long KITTI-geometry run (RESULTS-only; not part of --all): several
+    # hundred frames at dataset geometry — the long-trajectory evidence
+    # row (loopy trajectories are covered by tests/test_e2e_loop.py at
+    # 640x480).
+    "stereo_kitti_long": dict(
+        sensor="STEREO", n_frames=300, warmup=15, dt_frame=0.1,
+        speed=0.35, ate_gate=0.08, baseline_fps=10.0,
+        world_n=1200, world_x_max=22.0,
+        cam_kwargs=dict(fx=718.856, fy=718.856, cx=607.19, cy=185.22,
+                        width=1241, height=376, fps=10,
+                        bf=718.856 * 0.2),
+        orb_kwargs=dict(n_features=2000, n_levels=8),
+        tracking_kwargs=dict(min_stereo_init_points=60),
     ),
     # KITTI geometry: 1241x376 stereo, 2000 features, 8 levels, 10 Hz.
     "stereo_kitti": dict(

@@ -142,15 +142,16 @@ def render_scene(
     return img.reshape(h, ss, w, ss).mean(axis=(1, 3))
 
 
-def blob_world(n: int = 600, seed: int = 0):
+def blob_world(n: int = 600, seed: int = 0, x_max: float = 10.0):
     """World blobs spread through the viewing volume of smooth_trajectory.
 
     Depths chosen so per-keyframe baseline/depth stays in the few-percent
-    regime of the TUM fr1 sequences the reference is tuned for.
+    regime of the TUM fr1 sequences the reference is tuned for. x_max
+    extends the sweep corridor for long-trajectory runs.
     """
     rng = np.random.default_rng(seed)
     xw = np.c_[
-        rng.uniform(-5, 10, size=(n, 1)),
+        rng.uniform(-5, x_max, size=(n, 1)),
         rng.uniform(-3, 3, size=(n, 1)),
         rng.uniform(3, 9, size=(n, 1)),
     ].astype(np.float32)

@@ -87,3 +87,13 @@ def test_padding_is_inert(mesh):
     np.testing.assert_allclose(
         np.asarray(dist.cam_T), np.asarray(single.cam_T), atol=5e-4
     )
+
+
+def test_multihost_initialize_single_process_noop():
+    """initialize() must be a safe no-op on single-process runs (no
+    coordinator configured) and idempotent."""
+    from c_orb_slam_tpu.parallel import multihost
+
+    assert multihost.initialize() is False
+    assert multihost.initialize() is False  # idempotent
+    assert multihost.is_primary()
