@@ -81,6 +81,11 @@ class _GbaJob:
         self.lam = jnp.asarray(1e-4, jnp.float32)
         self.err = None
         self._fut = None
+        # CPU: the done() probe would make the apply frame depend on
+        # background-thread scheduling (same determinism rationale as
+        # LocalMapping._fixed_defer); apply as soon as the fetch is
+        # dispatched instead.
+        self._fixed = jax.default_backend() == "cpu"
 
     def advance(self):
         if self.stage >= 2:
@@ -112,7 +117,9 @@ class _GbaJob:
             self._fut = fetch_async(self.p.cam_T, self.p.points)
 
     def ready(self, force: bool) -> bool:
-        return self.stage == 2 and (force or self._fut.done())
+        return self.stage == 2 and (
+            force or self._fixed or self._fut.done()
+        )
 
     def result(self):
         cam_T, points = self._fut.result()
@@ -190,6 +197,7 @@ class LoopClosing:
         # applied background solves.
         self.gba_job: Optional[_GbaJob] = None
         self.n_gba_applied = 0
+        self.last_gba_kind = None
         # Detection-scoring readbacks defer (bounded) on accelerator
         # backends to keep the frame loop non-blocking; on CPU the result
         # is already local and deferral only adds load-dependent timing
@@ -307,7 +315,6 @@ class LoopClosing:
         System inside the tracking readback window). Defers (bounded)
         while the scoring readback is still in flight so the frame loop
         never blocks on loop-rate work."""
-        self._advance_gba()
         pd = self._pending_detect
         if pd is None:
             return False
@@ -339,6 +346,14 @@ class LoopClosing:
         self.n_loops_closed += 1
         self.map.big_change_idx += 1
         return True
+
+    def advance_background(self):
+        """Advance the in-flight background global BA by exactly ONE
+        chunk. Called once per tracked frame by the System — NOT from
+        step(), which keyframe events may invoke several times per frame
+        (a catch-up drain would otherwise run the whole solve inside one
+        frame)."""
+        return self._advance_gba()
 
     def drain(self):
         closed = self.step(force=True)
@@ -927,6 +942,7 @@ class LoopClosing:
         if not job.ready(force):
             return False
         self.gba_job = None
+        self.last_gba_kind = job.__class__.__name__
         self._apply_gba(job)
         return True
 

@@ -272,6 +272,14 @@ class LocalMapping:
         # catch-up drain (system.py) rescues tracking deterministically
         # when mapping falls behind under load.
         self._defer_applies = True
+        # CPU: defer each apply exactly ONE frame unconditionally instead
+        # of consulting fut.done() — the done() probe made mapping
+        # progress depend on background-thread scheduling (observed: the
+        # orbit e2e flipped outcomes between in-suite and standalone
+        # runs). One fixed frame of deferral keeps the compute overlap
+        # AND determinism; accelerators keep the timing-based defer (the
+        # readback latency they hide is real and variable).
+        self._fixed_defer = jax.default_backend() == "cpu"
         # On CPU the per-frame budget counts STAGES, not wall-clock ms: a
         # wall-clock budget makes mapping progress depend on machine load
         # (measured: the orbit e2e flipped between clean and lost runs
@@ -503,7 +511,10 @@ class LocalMapping:
         if getattr(self, "_pending_tri", None) is None:
             return
         fut = self._pending_tri[-1]
-        if defer_ok and not fut.done():
+        if defer_ok and (
+            not fut.done() if not self._fixed_defer
+            else getattr(self, "_tri_waits", 0) < 1
+        ):
             w = getattr(self, "_tri_waits", 0)
             if w < _MAX_WAITS:
                 self._tri_waits = w + 1
@@ -651,7 +662,10 @@ class LocalMapping:
         if getattr(self, "_pending_fuse", None) is None:
             return
         fut = self._pending_fuse[-1]
-        if defer_ok and not fut.done():
+        if defer_ok and (
+            not fut.done() if not self._fixed_defer
+            else getattr(self, "_fuse_waits", 0) < 1
+        ):
             w = getattr(self, "_fuse_waits", 0)
             if w < _MAX_WAITS:
                 self._fuse_waits = w + 1
@@ -851,7 +865,10 @@ class LocalMapping:
         if getattr(self, "_pending_ba", None) is None:
             return
         fut = self._pending_ba[-1]
-        if defer_ok and not fut.done():
+        if defer_ok and (
+            not fut.done() if not self._fixed_defer
+            else getattr(self, "_ba_waits", 0) < 1
+        ):
             w = getattr(self, "_ba_waits", 0)
             if w < _MAX_WAITS:
                 self._ba_waits = w + 1

@@ -179,6 +179,9 @@ class System:
             if self.loop_closing is not None:
                 with self.metrics.stage("loop_stage"):
                     self.loop_closing.step()
+                    # One background-GBA chunk per frame (see
+                    # LoopClosing.advance_background).
+                    self.loop_closing.advance_background()
         self.metrics.end_frame(
             frame_id=self.tracker.frame_id,
             timestamp=timestamp,

@@ -153,6 +153,9 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
         sysm.loop_closing.n_gba_applied if sysm.loop_closing else 0
     )
     run.last_gba_at = gba_at
+    run.last_gba_kind = (
+        sysm.loop_closing.last_gba_kind if sysm.loop_closing else None
+    )
     return ate, n_loops, len(poses), n_frames
 
 

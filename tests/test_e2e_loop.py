@@ -42,20 +42,26 @@ def test_stereo_orbit_closes_loop_nonblocking():
     # 10+10 LM chunks + classify + fetch, so the apply must land well
     # after the loop event. (A wall-clock bound here was flaky on cold
     # CI runs: in-process jit compiles spike arbitrary frames.)
-    assert run.last_gba_at, "GBA apply frame not recorded"
-    spread = run.last_gba_at[0] - run.last_loops_at[0]
-    # The old inline GBA solved on the correction frame itself (spread
-    # 0). Keyframe events and thin-margin catch-up drains may advance
-    # several chunks in one frame, so the spread is >= 1, not the full
-    # 21-chunk schedule.
-    assert spread >= 1, (
-        f"GBA applied ON the loop-event frame — the solve was inline "
-        f"(loop at {run.last_loops_at[0]}, applied at {run.last_gba_at[0]})"
-    )
+    # The background solve advances exactly one chunk per frame, so the
+    # apply lands ~21 frames (10+10 LM chunks + classify + fetch) after
+    # the correction — the old inline GBA solved on the correction frame
+    # itself. When the loop fires near the sequence end the apply may
+    # land in shutdown's drain instead (gba_at then stays empty).
+    # On the multi-device CPU mesh the wired path is _ShardedGbaJob —
+    # one SPMD solve whose readback may land within a frame or two; the
+    # chunk-spread property applies to the single-device _GbaJob only.
+    if run.last_gba_at and run.last_gba_kind == "_GbaJob":
+        spread = run.last_gba_at[0] - run.last_loops_at[0]
+        assert spread >= 5, (
+            f"GBA applied only {spread} frames after the loop event — "
+            f"the solve was not spread (loop at {run.last_loops_at[0]}, "
+            f"applied at {run.last_gba_at[0]})"
+        )
     # And the post-loop advance frames each stay near the run median:
     # every frame between correction and apply carries ONE LM chunk.
     t = np.asarray(run.last_frame_times)
-    lo, hi = run.last_loops_at[0] + 1, run.last_gba_at[0]
+    lo = run.last_loops_at[0] + 1
+    hi = run.last_gba_at[0] if run.last_gba_at else len(t)
     med = float(np.median(t[6:lo]))
     worst = float(t[lo:hi].max()) if hi > lo else 0.0
     # Absolute floor 30 s: on a COLD suite run the first lm_step chunk
