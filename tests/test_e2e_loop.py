@@ -75,3 +75,17 @@ def test_stereo_orbit_closes_loop_nonblocking():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_mono_orbit_closes_loop_with_scale():
+    """Monocular loop closure — the Sim3 path with FREE scale (stereo
+    fixes scale; mono must estimate and correct scale drift,
+    reference: LoopClosing.cc:38-41 mbFixScale)."""
+    ate, n_loops, n_ok, n = e2e_loop_debug.run(
+        Sensor.MONOCULAR, n_frames=240, verbose=False, world_n=1400
+    )
+    run = e2e_loop_debug.run
+    assert n_ok > 0.9 * n, f"tracked only {n_ok}/{n} frames"
+    assert n_loops >= 1, "no loop closed"
+    assert ate < 0.4, f"scaled ATE {ate:.4f} (measured ~0.08 healthy)"
+    assert run.last_n_gba_applied >= 1, "background GBA never applied"

@@ -23,15 +23,21 @@ def main():
     from c_orb_slam_tpu.system import System
     from synthetic import blob_world, render_scene, smooth_trajectory
 
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    cam = CameraConfig(fx=500, fy=500, cx=320, cy=240, width=640, height=480, fps=10)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(args[0]) if args else 40
+    # --tum30: the bench headline pacing (30 Hz-like inter-frame motion)
+    # instead of the default 10 Hz fast motion.
+    speed = 0.4 if "--tum30" in sys.argv else 1.0
+    fps_cam = 30 if "--tum30" in sys.argv else 10
+    cam = CameraConfig(fx=500, fy=500, cx=320, cy=240, width=640,
+                       height=480, fps=fps_cam)
     cfg = SlamConfig(
         sensor=Sensor.MONOCULAR,
         camera=cam,
         orb=OrbConfig(n_features=1000, n_levels=8),
     )
     xw, inten, size = blob_world(400, seed=5)
-    traj = smooth_trajectory(n_frames)
+    traj = smooth_trajectory(n_frames, speed=speed)
     K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
     frames = [render_scene(xw, inten, size, traj[i], K4) for i in range(n_frames)]
 
@@ -51,7 +57,11 @@ def main():
 
     summary = sysm.metrics.summary()
     out = {
-        "scenario": "mono 640x480 1000feat 8lv, 10Hz pacing",
+        "scenario": (
+            "mono 640x480 1000feat 8lv, "
+            + ("30Hz TUM-like" if "--tum30" in sys.argv else "10Hz fast")
+            + " pacing"
+        ),
         "n_frames_timed": n_timed,
         "fps": round(n_timed / dt, 2),
         "median_frame_ms": round(float(np.median(per_frame)), 1),
