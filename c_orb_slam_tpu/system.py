@@ -68,7 +68,6 @@ class System:
                 vocabulary = vocab_mod.load(path)
         self._build_pipeline(MapState(cfg), vocabulary)
         self.localization_only = False
-        self.timestamps: list[float] = []
 
     def _build_pipeline(self, map_state: MapState, vocabulary):
         """Construct tracker/mapper/loop-closer over `map_state` and wire
@@ -123,7 +122,6 @@ class System:
 
     def _track(self, f, timestamp: float) -> Optional[np.ndarray]:
         t0 = time.perf_counter()
-        self.timestamps.append(timestamp)
         self.tracker.current_timestamp = timestamp
         with self.metrics.stage("tracking"):
             pose = self.tracker.track(f)
@@ -240,7 +238,6 @@ class System:
         """Reference: System::Reset -> Tracking::Reset (Tracking.cc:1504)."""
         voc = self.loop_closing.voc if self.loop_closing else None
         self._build_pipeline(MapState(self.cfg), voc)
-        self.timestamps = []
         self.metrics.reset()
 
     def shutdown(self):

@@ -6,13 +6,16 @@ import os
 import sys
 import time
 
-os.environ["JAX_PLATFORMS"] = os.environ.get("E2E_PLATFORM", "cpu")
+_plat = os.environ.get("E2E_PLATFORM", "cpu")
+if _plat != "default":
+    os.environ["JAX_PLATFORMS"] = _plat
 sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", os.environ.get("E2E_PLATFORM", "cpu"))
+if _plat != "default":
+    jax.config.update("jax_platforms", _plat)
 
 import numpy as np
 
