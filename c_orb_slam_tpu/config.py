@@ -262,7 +262,7 @@ class CapacityConfig:
     # RANSAC hypothesis batch sizes (reference iterates sequentially:
     # Initializer.cc:78 200 iters; we evaluate all at once).
     ransac_init_iters: int = 256
-    ransac_pnp_iters: int = 256
+    ransac_pnp_iters: int = 512
     ransac_sim3_iters: int = 256
     # Local-BA problem capacities (static shapes for the jitted solver).
     local_ba_max_kfs: int = 32

@@ -547,6 +547,17 @@ class Tracking:
             if self.current_inliers >= 2 * self.cfg.tracking.min_inliers_local_map
             else 1
         )
+        # Rotation-adaptive depth: under fast yaw the view leaves the
+        # stale local map faster than the pipelined bookkeeping refreshes
+        # it (the device pose chain keeps the POSE prediction at 1-frame
+        # lag, but keyframe decisions and local-map selection lag `depth`
+        # frames) — measured on the orbit e2e (1.6 deg/frame): depth 3
+        # loses tracking mid-orbit on the chip, depth 1 tracks 240/240.
+        # Smooth dataset trajectories (~0.2 deg/frame) keep full depth.
+        if depth > 1 and self.velocity is not None:
+            cos_r = 0.5 * (np.trace(self.velocity[:, :3]) - 1.0)
+            if cos_r < 0.99995:  # rotation > ~0.57 deg/frame
+                depth = 1
         while self._pending and (
             len(self._pending) >= depth
             or self._pending[0][1][0].done()

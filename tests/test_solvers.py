@@ -119,3 +119,43 @@ class TestHornSim3:
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
+
+
+def test_pnp_low_inlier_ratio():
+    """Relocalization-grade robustness: the minimal-sample GN refinement
+    (DLT init alone had median pose error 0.18 on clean draws) must keep
+    RANSAC reliable at 50% inliers and useful at 40% (the regime of the
+    reloc outages observed on the orbit e2e)."""
+    import numpy as np
+
+    from c_orb_slam_tpu.ops import pnp
+
+    rng = np.random.default_rng(0)
+    K = jnp.array([500.0, 500.0, 320.0, 240.0], jnp.float32)
+    for frac, need in ((0.5, 8), (0.4, 5)):
+        good = 0
+        for t in range(10):
+            M = 30
+            xw = np.c_[
+                rng.uniform(-3, 3, (M, 2)), rng.uniform(4, 9, M)
+            ].astype(np.float32)
+            T = np.eye(3, 4, dtype=np.float32)
+            T[0, 3], T[1, 3] = 0.3, -0.1
+            xc = xw @ T[:, :3].T + T[:, 3]
+            uv = np.stack(
+                [500 * xc[:, 0] / xc[:, 2] + 320,
+                 500 * xc[:, 1] / xc[:, 2] + 240], 1
+            ) + rng.normal(0, 0.5, (M, 2))
+            oi = rng.choice(M, int(M * (1 - frac)), replace=False)
+            uv[oi] = rng.uniform([0, 0], [640, 480], (len(oi), 2))
+            res = pnp.solve_pnp_ransac(
+                jnp.asarray(xw), jnp.asarray(uv.astype(np.float32)),
+                jnp.ones(M, bool), jnp.ones(M, jnp.float32), K,
+                jax.random.PRNGKey(100 + t),
+                n_hypotheses=512, min_inliers=8,
+            )
+            if bool(res.ok):
+                good += int(
+                    np.abs(np.asarray(res.pose) - T).max() < 0.05
+                )
+        assert good >= need, f"{good}/10 at inlier fraction {frac}"
