@@ -474,26 +474,35 @@ class LoopClosing:
                 _dbg(f"cand {cand}: bow={n} < {self.cfg.loop.min_bow_matches}, reject")
                 continue
 
-            # Paired 3D points in each camera frame.
+            # Paired 3D points in each camera frame, padded to a pow2
+            # bucket (per-event match counts otherwise compile a fresh
+            # RANSAC + Sim3-GN program per loop event).
             feats1 = np.nonzero(keep)[0]
-            feats2 = idx2[feats1]
-            p1_ids = self.map.kf_mp[kf, feats1]
-            p2_ids = self.map.kf_mp[cand, feats2]
+            M = len(feats1)
+            MP = max(32, 1 << (M - 1).bit_length())
+            f1_p = np.zeros(MP, np.int64)
+            f1_p[:M] = feats1
+            f2_p = np.zeros(MP, np.int64)
+            f2_p[:M] = idx2[feats1]
+            mask = np.zeros(MP, bool)
+            mask[:M] = True
+            p1_ids = self.map.kf_mp[kf, f1_p]
+            p2_ids = self.map.kf_mp[cand, f2_p]
+            p1_ids, p2_ids = np.maximum(p1_ids, 0), np.maximum(p2_ids, 0)
             T1 = jnp.asarray(self.map.kf_pose[kf])
             T2 = jnp.asarray(self.map.kf_pose[cand])
             x1 = np.asarray(se3.apply(T1, jnp.asarray(self.map.pt_xyz[p1_ids])))
             x2 = np.asarray(se3.apply(T2, jnp.asarray(self.map.pt_xyz[p2_ids])))
-            uv1 = self.map.kf_xy[kf, feats1]
-            uv2 = self.map.kf_xy[cand, feats2]
+            uv1 = self.map.kf_xy[kf, f1_p]
+            uv2 = self.map.kf_xy[cand, f2_p]
             # Per-match chi2 gates 9.21*sigma2(octave) (Sim3Solver.cc:106).
-            s1 = 9.21 * self.sigma2[self.map.kf_octave[kf, feats1]]
-            s2 = 9.21 * self.sigma2[self.map.kf_octave[cand, feats2]]
+            s1 = 9.21 * self.sigma2[self.map.kf_octave[kf, f1_p]]
+            s2 = 9.21 * self.sigma2[self.map.kf_octave[cand, f2_p]]
 
-            M = len(feats1)
             res = sim3solve.solve_sim3_ransac(
                 jnp.asarray(x1), jnp.asarray(x2),
                 jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.ones(M, bool),
+                jnp.asarray(mask),
                 jnp.asarray(s1), jnp.asarray(s2),
                 self.K, self.K, self._next_key(),
                 fix_scale=self.fix_scale,
@@ -507,9 +516,9 @@ class LoopClosing:
                 res.S12,
                 jnp.asarray(x1), jnp.asarray(x2),
                 jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(1.0 / self.sigma2[self.map.kf_octave[kf, feats1]]),
-                jnp.asarray(1.0 / self.sigma2[self.map.kf_octave[cand, feats2]]),
-                res.inliers,
+                jnp.asarray(1.0 / self.sigma2[self.map.kf_octave[kf, f1_p]]),
+                jnp.asarray(1.0 / self.sigma2[self.map.kf_octave[cand, f2_p]]),
+                res.inliers & jnp.asarray(mask),
                 self.K, self.K,
                 fix_scale=self.fix_scale,
             )
@@ -537,6 +546,19 @@ class LoopClosing:
         pts = np.asarray(sorted(pts), np.int64)
         return pts[self.map.pt_valid[pts]] if len(pts) else pts
 
+    @staticmethod
+    def _pad_pts(pts: np.ndarray):
+        """(padded_idx, real_mask) at a pow2 bucket — per-event point
+        counts otherwise compile a fresh projection-match program per
+        loop event."""
+        n = max(int(len(pts)), 1)
+        cap = 1 << (n - 1).bit_length()
+        out = np.zeros(cap, np.int64)
+        out[: len(pts)] = pts
+        mask = np.zeros(cap, bool)
+        mask[: len(pts)] = True
+        return out, mask
+
     def _count_total_matches(self, kf: int, cand: int, S_cl) -> int:
         """Project the loop neighborhood into the current KF and count
         guided matches (reference: SearchByProjection(KF, Scw, ...)
@@ -550,21 +572,22 @@ class LoopClosing:
     def _project_match(self, kf: int, pts: np.ndarray, S_cl, cand: int):
         """Match loop points (world coords) into keyframe kf through the
         corrected camera pose S_cl ∘ T_cand."""
+        pts_p, mask = self._pad_pts(pts)
         T_cand = sim3.from_se3(jnp.asarray(self.map.kf_pose[cand]))
         S_cw = sim3.compose(S_cl, T_cand)  # world -> current cam (Sim3)
-        xc = sim3.apply(S_cw, jnp.asarray(self.map.pt_xyz[pts]))
+        xc = sim3.apply(S_cw, jnp.asarray(self.map.pt_xyz[pts_p]))
         uv = camera.project(xc, self.K)
-        radii = jnp.full((len(pts),), 10.0, jnp.float32)
+        radii = jnp.full((len(pts_p),), 10.0, jnp.float32)
         m = match.match(
-            jnp.asarray(self.map.pt_desc[pts]),
+            jnp.asarray(self.map.pt_desc[pts_p]),
             jnp.asarray(self.map.kf_desc[kf]),
-            jnp.asarray(xc[:, 2] > 0),
+            jnp.asarray(xc[:, 2] > 0) & jnp.asarray(mask),
             jnp.asarray(self.map.kf_kp_valid[kf]),
             pair_mask=match.window_mask(uv, radii, jnp.asarray(self.map.kf_xy[kf])),
             max_dist=self.cfg.matcher.th_low,
             nn_ratio=1.0,
         )
-        return m, pts
+        return m, pts_p
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, loop_kf: int, S_cl, loop_pts: np.ndarray):
@@ -592,10 +615,11 @@ class LoopClosing:
         # from_se3 over the live set.
         live = mp.live_keyframes()
         live_arr = np.asarray(live, np.int64)
-        S_before_live = np.asarray(
-            sim3.from_se3(jnp.asarray(mp.kf_pose[live_arr]))
-        )
-        S_before = {int(k): S_before_live[i] for i, k in enumerate(live_arr)}
+        # Fixed (Nk,) shape: ONE compile for the process lifetime (slicing
+        # to the live set compiled a fresh program per map size — ~35 s of
+        # remote compile landed on the correction frame on the chip).
+        S_all = np.asarray(sim3.from_se3(jnp.asarray(mp.kf_pose)))
+        S_before = {int(k): S_all[int(k)] for k in live_arr}
 
         # Propagate the correction to the current covisibility group and
         # their points (:447-516), fully batched: corrected group poses in
@@ -605,11 +629,16 @@ class LoopClosing:
         # calls on a 100-KF group).
         group = [kf] + mp.covisible_keyframes(kf, n=100, min_weight=1)
         garr = np.asarray(group, np.int64)
-        S_g_old = jnp.asarray(np.stack([S_before[int(g)] for g in group]))
+        G = len(group)
+        GP = 128  # fixed pad (group is capped at 101): one compile ever
+        g_pad = np.zeros((GP, 8), np.float32)
+        g_pad[:, 0] = 1.0  # identity quaternions in the padding
+        g_pad[:G] = np.stack([S_before[int(g)] for g in group])
+        S_g_old = jnp.asarray(g_pad)
         S_cur_old = jnp.asarray(S_before[kf])
         S_gc = sim3.compose(S_g_old, sim3.inverse(S_cur_old)[None])
         S_g_corr = sim3.compose(S_gc, jnp.asarray(S_cw_corr)[None])
-        S_g_corr_np = np.asarray(S_g_corr)
+        S_g_corr_np = np.asarray(S_g_corr)[:G]
         corrected: dict[int, jnp.ndarray] = {
             int(g): S_g_corr_np[i] for i, g in enumerate(group)
         }
@@ -623,12 +652,19 @@ class LoopClosing:
         sel = np.nonzero(owner >= 0)[0]
         sel = sel[mp.pt_valid[sel]]
         if len(sel):
-            oi = owner[sel]
-            x_old = sim3.apply(S_g_old[oi], jnp.asarray(mp.pt_xyz[sel]))
+            # Pad the point axis to a pow2 bucket (stable compile cache
+            # across events; padding rows recompute point 0 and are
+            # discarded on write-back).
+            SP = 1 << (len(sel) - 1).bit_length()
+            sel_p = np.zeros(SP, np.int64)
+            sel_p[: len(sel)] = sel
+            oi = np.zeros(SP, np.int32)
+            oi[: len(sel)] = owner[sel]
+            x_old = sim3.apply(S_g_old[oi], jnp.asarray(mp.pt_xyz[sel_p]))
             x_new = sim3.apply(sim3.inverse(S_g_corr)[oi], x_old)
-            mp.pt_xyz[sel] = np.asarray(x_new)
+            mp.pt_xyz[sel] = np.asarray(x_new)[: len(sel)]
             mp.mark_points_dirty(sel)
-        mp.kf_pose[garr] = np.asarray(sim3.to_se3(S_g_corr))
+        mp.kf_pose[garr] = np.asarray(sim3.to_se3(S_g_corr))[:G]
         mp.mark_kf_pose_dirty(garr)
         _lap("propagate")
 
@@ -677,20 +713,21 @@ class LoopClosing:
     def _project_match_corrected(self, g: int, loop_pts: np.ndarray):
         """Guided match of loop points into KF g at its (already corrected)
         SE3 pose."""
+        pts_p, mask = self._pad_pts(loop_pts)
         T = jnp.asarray(self.map.kf_pose[g])
-        xc = se3.apply(T, jnp.asarray(self.map.pt_xyz[loop_pts]))
+        xc = se3.apply(T, jnp.asarray(self.map.pt_xyz[pts_p]))
         uv = camera.project(xc, self.K)
-        radii = jnp.full((len(loop_pts),), 8.0, jnp.float32)
+        radii = jnp.full((len(pts_p),), 8.0, jnp.float32)
         m = match.match(
-            jnp.asarray(self.map.pt_desc[loop_pts]),
+            jnp.asarray(self.map.pt_desc[pts_p]),
             jnp.asarray(self.map.kf_desc[g]),
-            jnp.asarray(xc[:, 2] > 0),
+            jnp.asarray(xc[:, 2] > 0) & jnp.asarray(mask),
             jnp.asarray(self.map.kf_kp_valid[g]),
             pair_mask=match.window_mask(uv, radii, jnp.asarray(self.map.kf_xy[g])),
             max_dist=self.cfg.matcher.th_low,
             nn_ratio=1.0,
         )
-        return m, loop_pts
+        return m, pts_p
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, kf, loop_kf, S_before, corrected, S_cw_corr):
@@ -706,11 +743,9 @@ class LoopClosing:
         Nk = mp.kf_pose.shape[0]
         live_arr = np.asarray(live, np.int64)
 
-        # S_before as a dense (Nk, 8) host array (one batched device op).
+        # S_before as a dense (Nk, 8) host array. The caller's snapshot
+        # dict holds the pre-correction values; dead slots get identity.
         S_before_arr = np.tile(np.asarray(sim3.identity()), (Nk, 1))
-        S_before_arr[live_arr] = np.asarray(
-            sim3.from_se3(jnp.asarray(mp.kf_pose[live_arr]))
-        )
         for k, S in S_before.items():
             S_before_arr[k] = np.asarray(S)
 
@@ -745,14 +780,22 @@ class LoopClosing:
         keykeep[0] = True  # the loop edge always survives
         ei, ej = ei[keykeep], ej[keykeep]
 
-        # Measurements: S_ji = S_before[j] ∘ S_before[i]^-1, batched; the
-        # loop edge (row 0) instead measures the corrected relative.
-        Sj = jnp.asarray(S_before_arr[ej], jnp.float32)
-        Si = jnp.asarray(S_before_arr[ei], jnp.float32)
+        # Measurements: S_ji = S_before[j] ∘ S_before[i]^-1, batched at
+        # the SOLVER's pow2 edge bucket (an unpadded compose compiled per
+        # edge count — a fresh remote compile every loop event); the loop
+        # edge (row 0) instead measures the corrected relative.
+        E = len(ei)
+        Ep = max(16, 1 << (E - 1).bit_length())
+        ei_p = np.zeros(Ep, np.int64)
+        ej_p = np.zeros(Ep, np.int64)
+        ei_p[:E], ej_p[:E] = ei, ej
+        Sj = jnp.asarray(S_before_arr[ej_p], jnp.float32)
+        Si = jnp.asarray(S_before_arr[ei_p], jnp.float32)
         meas = np.array(sim3.compose(Sj, sim3.inverse(Si)))
         meas[0] = np.asarray(
             sim3.compose(S_cw_corr, sim3.inverse(jnp.asarray(S_before_arr[loop_kf])))
         )
+        meas[E:] = np.asarray(sim3.identity())
 
         verts = np.tile(np.asarray(sim3.identity()), (Nk, 1))
         v_valid = np.zeros(Nk, bool)
@@ -763,29 +806,21 @@ class LoopClosing:
         v_fixed = np.zeros(Nk, bool)
         v_fixed[loop_kf] = True
 
-        # Pad the edge axis to a power-of-two bucket: the problem shape then
-        # repeats across loop events and optimize_pose_graph compiles once
-        # per bucket instead of once per event (padding edges are weight-0,
+        # Edge axis already padded to the pow2 bucket above: the problem
+        # shape repeats across loop events and optimize_pose_graph
+        # compiles once per bucket (padding edges are weight-0,
         # valid=False self-loops at vertex 0).
-        E = len(ei)
-        Ep = max(16, 1 << (E - 1).bit_length())
-        pad = Ep - E
         problem = pose_graph.PoseGraphProblem(
             vertices=jnp.asarray(verts, jnp.float32),
             v_fixed=jnp.asarray(v_fixed),
             v_valid=jnp.asarray(v_valid),
-            edge_i=jnp.asarray(np.concatenate([ei, np.zeros(pad)]), jnp.int32),
-            edge_j=jnp.asarray(np.concatenate([ej, np.zeros(pad)]), jnp.int32),
-            edge_Sji=jnp.asarray(
-                np.concatenate(
-                    [meas, np.tile(np.asarray(sim3.identity()), (pad, 1))]
-                ),
-                jnp.float32,
-            ),
+            edge_i=jnp.asarray(ei_p, jnp.int32),
+            edge_j=jnp.asarray(ej_p, jnp.int32),
+            edge_Sji=jnp.asarray(meas, jnp.float32),
             edge_weight=jnp.asarray(
-                np.concatenate([np.ones(E), np.zeros(pad)]), jnp.float32
+                np.concatenate([np.ones(E), np.zeros(Ep - E)]), jnp.float32
             ),
-            edge_valid=jnp.asarray([True] * E + [False] * pad),
+            edge_valid=jnp.asarray([True] * E + [False] * (Ep - E)),
         )
         if len(jax.devices()) > 1:
             # Edge-sharded SPMD solve over the device mesh
@@ -812,22 +847,27 @@ class LoopClosing:
         # started from (corrected.get(ref, S_before[ref]) == verts[ref]).
         pts = mp.live_points()
         if len(pts):
-            ref = mp.pt_ref_kf[pts]
+            # Pow2 point bucket: stable compile cache across loop events.
+            P = len(pts)
+            PP = 1 << (P - 1).bit_length()
+            pts_p = np.zeros(PP, np.int64)
+            pts_p[:P] = pts
+            ref = mp.pt_ref_kf[pts_p]
             ref = np.where(
                 (ref >= 0) & mp.kf_valid[np.maximum(ref, 0)], ref, live[0]
             )
             S_old = jnp.asarray(verts[ref], jnp.float32)
             S_new = jnp.asarray(out_np[ref], jnp.float32)
-            x = jnp.asarray(mp.pt_xyz[pts])
+            x = jnp.asarray(mp.pt_xyz[pts_p])
             x_cam = sim3.apply(S_old, x)
             x_new = sim3.apply(sim3.inverse(S_new), x_cam)
-            mp.pt_xyz[pts] = np.asarray(x_new)
+            mp.pt_xyz[pts] = np.asarray(x_new)[:P]
             mp.mark_points_dirty(pts)
 
-        # Write back SE3 poses (t/s, :991-1010) — one batched conversion.
-        mp.kf_pose[live_arr] = np.asarray(
-            sim3.to_se3(jnp.asarray(out_np[live_arr], jnp.float32))
-        )
+        # Write back SE3 poses (t/s, :991-1010) — one batched conversion
+        # at the fixed (Nk,) shape.
+        T_all = np.asarray(sim3.to_se3(jnp.asarray(out_np, jnp.float32)))
+        mp.kf_pose[live_arr] = T_all[live_arr]
         mp.mark_kf_pose_dirty(live)
         mp.update_points_batch(pts)
 
@@ -892,22 +932,37 @@ class LoopClosing:
 
         # Gauge: fix the OLDEST keyframe by serial (the reference fixes
         # KF id 0, Optimizer.cc:79; slot 0 may have been recycled).
-        cam_fixed = np.zeros(len(live), bool)
+        # Camera/point axes are padded to pow2 buckets like the obs axis:
+        # per-event sizes otherwise compile a fresh lm_step per loop
+        # event (a multi-second remote compile on the chip).
+        C, P = len(live), len(pts)
+        Cp = max(16, 1 << (C - 1).bit_length())
+        Pp = max(256, 1 << (P - 1).bit_length())
+        cam_T = np.tile(np.eye(3, 4, dtype=np.float32), (Cp, 1, 1))
+        cam_T[:C] = mp.kf_pose[live]
+        cam_fixed = np.ones(Cp, bool)
+        cam_fixed[:C] = False
         cam_fixed[int(np.argmin(mp.kf_serial[live]))] = True
+        cam_valid = np.zeros(Cp, bool)
+        cam_valid[:C] = True
+        pt_xyz = np.zeros((Pp, 3), np.float32)
+        pt_xyz[:P] = mp.pt_xyz[pts]
+        pt_valid = np.zeros(Pp, bool)
+        pt_valid[:P] = True
 
         up = jax.device_put(
-            (mp.kf_pose[live].astype(np.float32), cam_fixed,
-             mp.pt_xyz[pts].astype(np.float32), obs_cam, obs_pt, obs_uv,
+            (cam_T, cam_fixed, cam_valid, pt_xyz, pt_valid,
+             obs_cam, obs_pt, obs_uv,
              obs_stereo, obs_isig, obs_valid,
              np.float32(self.cfg.camera.bf))
         )
         problem = ba_mod.BAProblem(
             cam_T=up[0], cam_fixed=up[1],
-            cam_valid=jnp.ones(len(live), bool),
-            points=up[2], point_valid=jnp.ones(len(pts), bool),
-            obs_cam=up[3], obs_pt=up[4], obs_uv=up[5],
-            obs_stereo=up[6], obs_inv_sigma2=up[7], obs_valid=up[8],
-            K=self.K, bf=up[9],
+            cam_valid=up[2],
+            points=up[3], point_valid=up[4],
+            obs_cam=up[5], obs_pt=up[6], obs_uv=up[7],
+            obs_stereo=up[8], obs_inv_sigma2=up[9], obs_valid=up[10],
+            K=self.K, bf=up[11],
         )
         problem = ba_mod.sort_by_point(problem)
         # Multi-device: dispatch the map-sharded SPMD solve over the mesh
@@ -955,6 +1010,10 @@ class LoopClosing:
         if self.on_before_correction is not None:
             self.on_before_correction()
         cam_T, points = job.result()
+        # The snapshot problem may be padded past the snapshot lists
+        # (pow2 compile buckets); ids are positional so slice back.
+        cam_T = cam_T[: len(job.kfs)]
+        points = points[: len(job.pts)]
 
         # 1. Snapshot keyframes still live under the same identity.
         T_bef: dict[int, np.ndarray] = {}
