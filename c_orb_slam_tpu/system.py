@@ -259,6 +259,30 @@ class System:
     def tracking_state(self) -> int:
         return self.tracker.state
 
+    def tracked_map_points(self) -> np.ndarray:
+        """World positions of the map points matched in the most recent
+        frame (reference: System::GetTrackedMapPoints, System.cc:295 —
+        pointers there; positions here, the array-native equivalent)."""
+        self.tracker.flush_pending()
+        mp = self.tracker.last_mp
+        if mp is None:
+            return np.zeros((0, 3), np.float32)
+        ids = mp[mp >= 0]
+        ids = ids[self.map.pt_valid[ids]]
+        return self.map.pt_xyz[ids].copy()
+
+    def tracked_keypoints(self) -> np.ndarray:
+        """(N, 2) undistorted keypoint coordinates of the most recent
+        frame (reference: System::GetTrackedKeyPointsUn, System.cc:300)."""
+        from c_orb_slam_tpu.utils.host import fetch
+
+        self.tracker.flush_pending()
+        f = self.tracker.last_frame
+        if f is None:
+            return np.zeros((0, 2), np.float32)
+        xy, valid = fetch(f.xy, f.valid)
+        return np.asarray(xy)[np.asarray(valid)]
+
     def frame_poses(self) -> tuple[np.ndarray, list]:
         """(F, 3, 4) per-frame Tcw for frames where tracking succeeded,
         with matching timestamps. Reconstructed as T_cr · T_rw from the
