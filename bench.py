@@ -6,9 +6,10 @@ for the headline config (mono, 30 Hz TUM-like pacing — the reference's
 real-time bar is dataset-rate tracking, README.md:10; TUM runs at 30 Hz).
 
 `python bench.py --all` additionally runs the continuity config (the
-round-1/2 10 Hz fast-motion pacing) and a KITTI-geometry stereo config
-(1241x376, 2000 features, 8 levels, 10 Hz), prints one JSON line per
-config (headline LAST), and rewrites RESULTS.md.
+round-1/2 10 Hz fast-motion pacing), a KITTI-geometry stereo config
+(1241x376, 2000 features, 8 levels, 10 Hz) and the 300-frame
+long-trajectory variant, prints one JSON line per config (headline
+LAST), and rewrites RESULTS.md.
 
 Honesty gates: every config measures ATE against the synthetic ground
 truth and fails (vs_baseline=0) if tracking is lost or ATE exceeds its
@@ -117,10 +118,10 @@ CONFIGS = {
                         height=480, fps=10),
         orb_kwargs=dict(n_features=1000, n_levels=8),
     ),
-    # Long KITTI-geometry run (RESULTS-only; not part of --all): several
+    # Long KITTI-geometry run (part of --all since round 5): several
     # hundred frames at dataset geometry — the long-trajectory evidence
-    # row (loopy trajectories are covered by tests/test_e2e_loop.py at
-    # 640x480).
+    # row, regression-gated on both tracking survival and ATE (loopy
+    # trajectories are covered by tests/test_e2e_loop.py at 640x480).
     "stereo_kitti_long": dict(
         sensor="STEREO", n_frames=300, warmup=15, dt_frame=0.1,
         speed=0.35, ate_gate=0.08, baseline_fps=10.0,
@@ -170,7 +171,8 @@ def main():
         return
 
     recs = {}
-    for name in ("mono_fast10", "stereo_kitti", "mono_tum30"):
+    for name in ("mono_fast10", "stereo_kitti", "stereo_kitti_long",
+                 "mono_tum30"):
         recs[name] = run_named(name)
         if name != "mono_tum30":
             print(json.dumps(recs[name]))
@@ -198,9 +200,13 @@ def _write_results(recs):
         "mono_tum30": ("mono", "640x480, 1000 feat, 8 lv", "30 Hz TUM-like"),
         "mono_fast10": ("mono", "640x480, 1000 feat, 8 lv", "10 Hz fast (r01/r02 pacing)"),
         "stereo_kitti": ("stereo", "1241x376, 2000 feat, 8 lv", "10 Hz KITTI-like"),
+        "stereo_kitti_long": ("stereo", "1241x376, 2000 feat, 8 lv",
+                              "10 Hz, 300 frames"),
     }
     for name, rec in recs.items():
-        sensor, geom, pace = meta[name]
+        sensor, geom, pace = meta.get(
+            name, (recs[name].get("sensor", "?"), "?", "?")
+        )
         ate = rec.get("ate_m", float("nan"))
         err = rec.get("error", "")
         lines.append(

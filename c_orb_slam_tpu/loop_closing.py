@@ -20,6 +20,7 @@ a fixed-shape Sim3 pose-graph GN with implicit PCG (optim/pose_graph.py).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax.numpy as jnp
@@ -52,6 +53,169 @@ def _dbg(*args):
 _classify_inliers_jit = jax.jit(
     ba_mod.classify_inliers, static_argnames=("chi2_mono", "chi2_stereo")
 )
+
+
+@jax.jit
+def _propagate_program(kf_pose_all, pt_xyz_all, S_cl, loop_kf, kf, g_idx,
+                       owner_idx, sel_idx):
+    """The whole Sim3 propagation block as ONE device program
+    (reference: the mMutexMapUpdate-held block of CorrectLoop,
+    LoopClosing.cc:443-516). The round-4 version issued ~6 separate
+    device calls with blocking readbacks — each paying a tunnel round
+    trip on the correction frame; fusing them is most of the correction
+    frame's remaining latency budget. kf_pose_all / pt_xyz_all are the
+    DEVICE-RESIDENT map mirror (slam_map/devicemap.py): the host uploads
+    only index arrays.
+
+    Returns (S_all, S_g_corr, T_g_new, x_new, S_cw_corr): the full
+    pre-correction Sim3 snapshot, corrected group Sim3 poses, their SE3
+    forms, moved owned-point positions, and the corrected current pose.
+    """
+    sel_xyz = pt_xyz_all[sel_idx]
+    S_all = sim3.from_se3(kf_pose_all)  # (Nk, 8) pre-correction snapshot
+    S_lw = S_all[loop_kf]
+    # Corrected Sim3 pose of the current KF: S_cw = S_cl ∘ S_lw
+    # (reference: mg2oScw = gScm * gSmw, LoopClosing.cc:234-239).
+    S_cw_corr = sim3.compose(S_cl, S_lw)
+    S_g_old = S_all[g_idx]  # (GP, 8)
+    S_cur_old = S_all[kf]
+    S_gc = sim3.compose(S_g_old, sim3.inverse(S_cur_old)[None])
+    S_g_corr = sim3.compose(S_gc, S_cw_corr[None])
+    # Owned points move with their owner keyframe's correction:
+    # x' = S_corr^-1 (S_old x).
+    x_old = sim3.apply(S_g_old[owner_idx], sel_xyz)
+    x_new = sim3.apply(sim3.inverse(S_g_corr)[owner_idx], x_old)
+    T_g_new = sim3.to_se3(S_g_corr)
+    return S_all, S_g_corr, T_g_new, x_new, S_cw_corr
+
+
+_FUSE_BLOCK = 4  # keyframes matched per fused-projection device program
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def _fuse_block_program(kf_pose_all, kf_desc_all, kf_valid_all, kf_xy_all,
+                        pt_xyz_all, pt_desc_all, pt_valid_all,
+                        gb, pts_idx, pts_mask, K, max_dist):
+    """Guided projection match of the loop-neighborhood points into a
+    BLOCK of corrected keyframes (reference: the SearchAndFuse projection
+    per corrected KF, LoopClosing.cc:587-613 / ORBmatcher.cc:977-1100).
+    One program per _FUSE_BLOCK keyframes instead of one per keyframe
+    (the round-4 fuse stage was ~100 sequential tiny device calls), over
+    the device-resident map mirror — per-block upload is 4 indices."""
+    xyz = pt_xyz_all[pts_idx]
+    desc = pt_desc_all[pts_idx]
+    pmask = pt_valid_all[pts_idx] & pts_mask
+
+    def per_kf(T, desc_t, valid_t, xy_t):
+        xc = se3.apply(T, xyz)
+        uv = camera.project(xc, K)
+        radii = jnp.full((xyz.shape[0],), 8.0, jnp.float32)
+        m = match.match(
+            desc, desc_t,
+            (xc[:, 2] > 0) & pmask, valid_t,
+            pair_mask=match.window_mask(uv, radii, xy_t),
+            max_dist=max_dist, nn_ratio=1.0,
+        )
+        return m.idx, m.valid
+
+    return jax.vmap(per_kf)(
+        kf_pose_all[gb], kf_desc_all[gb], kf_valid_all[gb], kf_xy_all[gb]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("max_dist",))
+def _sim3_widen_program(kf_pose_all, kf_desc_all, kf_valid_all, kf_xy_all,
+                        pt_xyz_all, pt_desc_all,
+                        S12, kf1, kf2, p1, v1, p2, v2, K, max_dist):
+    """Bidirectional Sim3-guided projection match between the two loop
+    keyframes' map points (reference: ORBmatcher::SearchBySim3,
+    ORBmatcher.cc:1102-1326, called between the Sim3 RANSAC and
+    OptimizeSim3 at LoopClosing.cc:323-326). p1/p2 are indexed by
+    FEATURE slot: row f holds the map point attached to feature f; the
+    big arrays are the device-resident map mirror.
+
+    Forward: kf2's points through S12 into kf1's image, matched against
+    kf1's feature descriptors in a projection window; backward through
+    S12^-1 likewise. The host keeps only pairs that agree both ways
+    (reference :1307-1323)."""
+    T1 = kf_pose_all[kf1]
+    T2 = kf_pose_all[kf2]
+    xyz1, d1 = pt_xyz_all[p1], pt_desc_all[p1]
+    xyz2, d2 = pt_xyz_all[p2], pt_desc_all[p2]
+    desc_f1, vf1, xy_f1 = kf_desc_all[kf1], kf_valid_all[kf1], kf_xy_all[kf1]
+    desc_f2, vf2, xy_f2 = kf_desc_all[kf2], kf_valid_all[kf2], kf_xy_all[kf2]
+    x1c = se3.apply(T1, xyz1)
+    x2c = se3.apply(T2, xyz2)
+    x2in1 = sim3.apply(S12, x2c)
+    r2 = jnp.full((xyz2.shape[0],), 10.0, jnp.float32)
+    m21 = match.match(
+        d2, desc_f1, v2 & (x2in1[:, 2] > 0), vf1,
+        pair_mask=match.window_mask(camera.project(x2in1, K), r2, xy_f1),
+        max_dist=max_dist, nn_ratio=1.0,
+    )
+    S21 = sim3.inverse(S12)
+    x1in2 = sim3.apply(S21, x1c)
+    r1 = jnp.full((xyz1.shape[0],), 10.0, jnp.float32)
+    m12 = match.match(
+        d1, desc_f2, v1 & (x1in2[:, 2] > 0), vf2,
+        pair_mask=match.window_mask(camera.project(x1in2, K), r1, xy_f2),
+        max_dist=max_dist, nn_ratio=1.0,
+    )
+    return m21.idx, m21.valid, m12.idx, m12.valid
+
+
+@jax.jit
+def _pg_finalize_program(verts_old, verts_new, ref_idx, xyz_sel):
+    """Post-essential-graph point remap + SE3 recovery as one program:
+    x' = S_new^-1 (S_old x) via each point's reference keyframe
+    (reference: Optimizer.cc:1013-1043), poses t/s (:991-1010)."""
+    S_old = verts_old[ref_idx]
+    S_new = verts_new[ref_idx]
+    x_new = sim3.apply(sim3.inverse(S_new), sim3.apply(S_old, xyz_sel))
+    T_all = sim3.to_se3(verts_new)
+    return x_new, T_all
+
+
+class _CorrectionJob:
+    """In-flight staged loop correction — everything AFTER the inline
+    Sim3 propagation block. The reference blocks Tracking only while
+    CorrectLoop holds mMutexMapUpdate for the propagation
+    (LoopClosing.cc:443-516); SearchAndFuse and OptimizeEssentialGraph
+    run on the loop thread while Tracking continues (:567, :587). Here
+    the equivalent: the correction frame pays only the fused propagate
+    program; fusion blocks and essential-graph GN chunks advance one per
+    tracked frame (LocalMapping is paused meanwhile, like the reference's
+    RequestStop at :408..Release :582 — keyframe creation is suppressed
+    the same way the reference's NeedNewKeyFrame bails while the mapper
+    is stopped, Tracking.cc:992-996)."""
+
+    def __init__(self, kf, loop_kf, group, loop_pts, S_before_arr,
+                 corrected, S_cw_corr):
+        self.stage = "fuse"
+        self.kf = kf
+        self.loop_kf = loop_kf
+        self.group = group
+        self.loop_pts = loop_pts
+        self.S_before_arr = S_before_arr  # host (Nk, 8) pre-correction
+        self.corrected = corrected  # {kf_slot: (8,) corrected Sim3}
+        self.S_cw_corr = S_cw_corr  # host (8,)
+        self.fuse_specs = []  # pending blocks: lists of keyframe slots
+        self.fuse_blocks = []  # dispatched: [(real_gs, pts_p, future)]
+        self.fuse_next = 0  # next dispatched block to apply
+        self.n_fused = 0
+        self.pts_p = None  # padded loop-point ids (host)
+        self.pts_idx = None  # same, device
+        self.pts_mask = None
+        # Essential-graph state.
+        self.pg_problem = None
+        self.verts = None
+        self.pg_iter = 0
+        self.live_arr = None
+        self.live_serials = None
+        self.pts_p = None
+        self.n_pts = 0
+        self.pt_serials = None
+        self.fetch_fut = None
 
 
 class _GbaJob:
@@ -197,7 +361,16 @@ class LoopClosing:
         # applied background solves.
         self.gba_job: Optional[_GbaJob] = None
         self.n_gba_applied = 0
+        self.n_gba_replay_unresolved = 0
         self.last_gba_kind = None
+        # In-flight staged loop correction (fuse -> essential graph ->
+        # GBA arming), advanced one chunk per tracked frame.
+        self.correction_job: Optional[_CorrectionJob] = None
+        self.n_corrections_applied = 0
+        # Wired by System: the LocalMapping stage, paused for the
+        # correction window (reference: RequestStop/Release,
+        # LoopClosing.cc:408,582).
+        self.mapper = None
         # Detection-scoring readbacks defer (bounded) on accelerator
         # backends to keep the frame loop non-blocking; on CPU the result
         # is already local and deferral only adds load-dependent timing
@@ -318,6 +491,11 @@ class LoopClosing:
         pd = self._pending_detect
         if pd is None:
             return False
+        if self.correction_job is not None:
+            # A correction is mid-flight: hold the pending detection (no
+            # new keyframes can arrive — the mapper is paused — and the
+            # dead-time gate re-checks at apply).
+            return False
         if self._defer_detect and not force and not pd[-1].done():
             w_ = getattr(self, "_step_waits", 0)
             if w_ < 5:
@@ -348,17 +526,34 @@ class LoopClosing:
         return True
 
     def advance_background(self):
-        """Advance the in-flight background global BA by exactly ONE
-        chunk. Called once per tracked frame by the System — NOT from
-        step(), which keyframe events may invoke several times per frame
-        (a catch-up drain would otherwise run the whole solve inside one
-        frame)."""
+        """Advance the in-flight background work by exactly ONE chunk:
+        the staged loop correction if one is mid-flight, else the
+        snapshot-epoch global BA. Called once per tracked frame by the
+        System — NOT from step(), which keyframe events may invoke
+        several times per frame (a catch-up drain would otherwise run a
+        whole solve inside one frame)."""
+        if self.correction_job is not None:
+            return self._advance_correction()
         return self._advance_gba()
 
+    def idle(self) -> bool:
+        """No in-flight background work (System's shutdown drain loop)."""
+        return (
+            self.correction_job is None
+            and self.gba_job is None
+            and self._pending_detect is None
+        )
+
     def drain(self):
+        # Finish the staged correction first (it arms the GBA), then any
+        # pending detection (which may arm a NEW correction), then the
+        # global BA — save_map, shutdown and trajectory export need the
+        # settled map.
+        while self.correction_job is not None:
+            self._advance_correction(force=True)
         closed = self.step(force=True)
-        # Finish any background global BA synchronously (save_map,
-        # shutdown, trajectory export need the settled map).
+        while self.correction_job is not None:
+            self._advance_correction(force=True)
         while self.gba_job is not None:
             self._advance_gba(force=True)
         return closed
@@ -512,13 +707,21 @@ class LoopClosing:
             if not bool(res.ok):
                 continue
 
+            # SearchBySim3 widening (reference: LoopClosing.cc:323-326):
+            # grow the RANSAC-inlier match set with bidirectional
+            # Sim3-guided projection agreements BEFORE the GN polish —
+            # BoW matches alone are biased toward shared-word features
+            # and starve the polish on weak-overlap real imagery.
+            inl = np.asarray(res.inliers) & mask
+            u1, u2 = self._widen_sim3_matches(
+                kf, cand, res.S12, f1_p[inl], f2_p[inl]
+            )
+            (xu1, xu2, uvu1, uvu2, wu1, wu2, umask) = self._sim3_pair_arrays(
+                kf, cand, u1, u2
+            )
             opt = sim3_opt.optimize_sim3(
                 res.S12,
-                jnp.asarray(x1), jnp.asarray(x2),
-                jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(1.0 / self.sigma2[self.map.kf_octave[kf, f1_p]]),
-                jnp.asarray(1.0 / self.sigma2[self.map.kf_octave[cand, f2_p]]),
-                res.inliers & jnp.asarray(mask),
+                xu1, xu2, uvu1, uvu2, wu1, wu2, umask,
                 self.K, self.K,
                 fix_scale=self.fix_scale,
             )
@@ -537,6 +740,79 @@ class LoopClosing:
                 loop_pts = self._loop_neighborhood_points(cand)
                 return cand, S_cl, loop_pts
         return None
+
+    def _widen_sim3_matches(self, kf: int, cand: int, S12,
+                            base_f1: np.ndarray, base_f2: np.ndarray):
+        """SearchBySim3: bidirectional Sim3-guided projection match with
+        the two-way agreement check (reference: ORBmatcher.cc:1102-1326,
+        used at LoopClosing.cc:323-326). Returns the union of the base
+        (BoW-RANSAC) pairs and fresh agreeing pairs, first-wins per
+        feature on either side."""
+        mp = self.map
+        mp1 = mp.kf_mp[kf]
+        mp2 = mp.kf_mp[cand]
+        v1 = (mp1 >= 0) & mp.kf_kp_valid[kf] & mp.pt_valid[np.maximum(mp1, 0)]
+        v2 = (mp2 >= 0) & mp.kf_kp_valid[cand] & mp.pt_valid[np.maximum(mp2, 0)]
+        p1 = np.maximum(mp1, 0)
+        p2 = np.maximum(mp2, 0)
+        dev = mp.device
+        dev.flush()
+        m21_idx, m21_ok, m12_idx, m12_ok = fetch(
+            *_sim3_widen_program(
+                dev.kf_pose, dev.kf_desc, dev.kf_kp_valid, dev.kf_xy,
+                dev.pt_xyz, dev.pt_desc,
+                jnp.asarray(S12), jnp.int32(kf), jnp.int32(cand),
+                jnp.asarray(p1), jnp.asarray(v1),
+                jnp.asarray(p2), jnp.asarray(v2),
+                self.K, max_dist=self.cfg.matcher.th_high,
+            )
+        )
+        m21_idx = np.asarray(m21_idx)
+        m21_ok = np.asarray(m21_ok)
+        m12_idx = np.asarray(m12_idx)
+        m12_ok = np.asarray(m12_ok)
+        # Two-way agreement (reference :1307-1323).
+        f2_all = np.nonzero(m21_ok)[0]
+        f1_of = m21_idx[f2_all]
+        agree = m12_ok[f1_of] & (m12_idx[f1_of] == f2_all)
+        wf1, wf2 = f1_of[agree], f2_all[agree]
+        used1 = np.zeros(mp1.shape[0], bool)
+        used2 = np.zeros(mp2.shape[0], bool)
+        used1[base_f1] = True
+        used2[base_f2] = True
+        fresh = ~used1[wf1] & ~used2[wf2]
+        _dbg(
+            f"sim3 widen: {len(base_f1)} base + {int(fresh.sum())} fresh"
+            f" (of {len(wf1)} agreements)"
+        )
+        return (
+            np.concatenate([base_f1, wf1[fresh]]),
+            np.concatenate([base_f2, wf2[fresh]]),
+        )
+
+    def _sim3_pair_arrays(self, kf: int, cand: int,
+                          f1: np.ndarray, f2: np.ndarray):
+        """Paired per-camera 3D points / pixels / octave weights for a
+        feature-pair list, padded to a pow2 bucket (stable jit cache)."""
+        mp = self.map
+        M = len(f1)
+        MP = max(32, 1 << (max(M, 1) - 1).bit_length())
+        f1_p = np.zeros(MP, np.int64)
+        f2_p = np.zeros(MP, np.int64)
+        f1_p[:M], f2_p[:M] = f1, f2
+        mask = np.zeros(MP, bool)
+        mask[:M] = True
+        p1 = np.maximum(mp.kf_mp[kf, f1_p], 0)
+        p2 = np.maximum(mp.kf_mp[cand, f2_p], 0)
+        T1 = jnp.asarray(mp.kf_pose[kf])
+        T2 = jnp.asarray(mp.kf_pose[cand])
+        x1 = se3.apply(T1, jnp.asarray(mp.pt_xyz[p1]))
+        x2 = se3.apply(T2, jnp.asarray(mp.pt_xyz[p2]))
+        uv1 = jnp.asarray(mp.kf_xy[kf, f1_p])
+        uv2 = jnp.asarray(mp.kf_xy[cand, f2_p])
+        w1 = jnp.asarray(1.0 / self.sigma2[mp.kf_octave[kf, f1_p]])
+        w2 = jnp.asarray(1.0 / self.sigma2[mp.kf_octave[cand, f2_p]])
+        return x1, x2, uv1, uv2, w1, w2, jnp.asarray(mask)
 
     def _loop_neighborhood_points(self, cand: int) -> np.ndarray:
         pts = set()
@@ -591,7 +867,15 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, loop_kf: int, S_cl, loop_pts: np.ndarray):
-        """Reference: LoopClosing::CorrectLoop (:402-585)."""
+        """Reference: LoopClosing::CorrectLoop (:402-585). Inline here is
+        ONLY the Sim3 propagation block the reference runs under
+        mMutexMapUpdate (:443-516) — one fused device program. Everything
+        after (fuse, essential graph, GBA arming) is staged into a
+        _CorrectionJob advanced one chunk per tracked frame."""
+        # Defensive: a correction is never armed while one is in flight
+        # (detection is paused), but direct callers (dryrun) may re-enter.
+        while self.correction_job is not None:
+            self._advance_correction(force=True)
         if self.on_before_correction is not None:
             self.on_before_correction()
         import time as _time
@@ -603,47 +887,17 @@ class LoopClosing:
             _dbg(f"correct_loop {name}: {(t - _t0) * 1000:.0f} ms")
             _t0 = t
         mp = self.map
-        # Corrected Sim3 pose of the current KF: S_cw = S_cl ∘ S_lw
-        # (reference: mg2oScw = gScm * gSmw, LoopClosing.cc:234-239 naming
-        # m=matched/loop KF).
-        S_lw = sim3.from_se3(jnp.asarray(mp.kf_pose[loop_kf]))
-        S_cw_corr = sim3.compose(S_cl, S_lw)
         T_cur_old = mp.kf_pose[kf].copy()
 
-        # Snapshot all poses before mutation (edge measurements use the
-        # uncorrected geometry, :447-466 NonCorrectedSim3) — one batched
-        # from_se3 over the live set.
-        live = mp.live_keyframes()
-        live_arr = np.asarray(live, np.int64)
-        # Fixed (Nk,) shape: ONE compile for the process lifetime (slicing
-        # to the live set compiled a fresh program per map size — ~35 s of
-        # remote compile landed on the correction frame on the chip).
-        S_all = np.asarray(sim3.from_se3(jnp.asarray(mp.kf_pose)))
-        S_before = {int(k): S_all[int(k)] for k in live_arr}
-
-        # Propagate the correction to the current covisibility group and
-        # their points (:447-516), fully batched: corrected group poses in
-        # one composed sim3 op, point ownership resolved with a
-        # first-owner-wins scatter, all points moved in one op (the
-        # round-3 version looped per keyframe — ~2.5 s of tiny device
-        # calls on a 100-KF group).
+        # Group = current KF + its covisibles (:447); each live point is
+        # owned by its FIRST group keyframe (group order = covisibility
+        # order, like the reference's sequential first-writer-wins loop).
         group = [kf] + mp.covisible_keyframes(kf, n=100, min_weight=1)
         garr = np.asarray(group, np.int64)
         G = len(group)
         GP = 128  # fixed pad (group is capped at 101): one compile ever
-        g_pad = np.zeros((GP, 8), np.float32)
-        g_pad[:, 0] = 1.0  # identity quaternions in the padding
-        g_pad[:G] = np.stack([S_before[int(g)] for g in group])
-        S_g_old = jnp.asarray(g_pad)
-        S_cur_old = jnp.asarray(S_before[kf])
-        S_gc = sim3.compose(S_g_old, sim3.inverse(S_cur_old)[None])
-        S_g_corr = sim3.compose(S_gc, jnp.asarray(S_cw_corr)[None])
-        S_g_corr_np = np.asarray(S_g_corr)[:G]
-        corrected: dict[int, jnp.ndarray] = {
-            int(g): S_g_corr_np[i] for i, g in enumerate(group)
-        }
-        # Each live point owned by its FIRST group keyframe (group order =
-        # covisibility order, like the sequential loop's first-writer-wins).
+        g_idx = np.full(GP, kf, np.int32)
+        g_idx[:G] = garr
         Np = mp.pt_xyz.shape[0]
         owner = np.full(Np, -1, np.int32)
         for i in range(len(group) - 1, -1, -1):
@@ -651,32 +905,110 @@ class LoopClosing:
             owner[pg[pg >= 0]] = i
         sel = np.nonzero(owner >= 0)[0]
         sel = sel[mp.pt_valid[sel]]
+        # Pad the point axis to a pow2 bucket (stable compile cache
+        # across events; padding rows recompute point 0 and are
+        # discarded on write-back).
+        SP = max(16, 1 << (max(len(sel), 1) - 1).bit_length())
+        sel_p = np.zeros(SP, np.int64)
+        sel_p[: len(sel)] = sel
+        oi = np.zeros(SP, np.int32)
+        oi[: len(sel)] = owner[sel]
+
+        # ONE device program + ONE readback for the whole propagation
+        # (snapshot, group correction, owned-point move, SE3 recovery),
+        # reading the device-resident mirror — the upload is index-sized.
+        dev = mp.device
+        dev.flush()
+        S_all_d, S_g_corr_d, T_g_new_d, x_new_d, S_cw_corr_d = (
+            _propagate_program(
+                dev.kf_pose, dev.pt_xyz, jnp.asarray(S_cl),
+                jnp.int32(loop_kf), jnp.int32(kf),
+                jnp.asarray(g_idx), jnp.asarray(oi),
+                jnp.asarray(sel_p),
+            )
+        )
+        S_all, S_g_corr, T_g_new, x_new, S_cw_corr = fetch(
+            S_all_d, S_g_corr_d, T_g_new_d, x_new_d, S_cw_corr_d
+        )
+        S_all = np.asarray(S_all)
+        corrected: dict[int, np.ndarray] = {
+            int(g): np.asarray(S_g_corr)[i] for i, g in enumerate(group)
+        }
         if len(sel):
-            # Pad the point axis to a pow2 bucket (stable compile cache
-            # across events; padding rows recompute point 0 and are
-            # discarded on write-back).
-            SP = 1 << (len(sel) - 1).bit_length()
-            sel_p = np.zeros(SP, np.int64)
-            sel_p[: len(sel)] = sel
-            oi = np.zeros(SP, np.int32)
-            oi[: len(sel)] = owner[sel]
-            x_old = sim3.apply(S_g_old[oi], jnp.asarray(mp.pt_xyz[sel_p]))
-            x_new = sim3.apply(sim3.inverse(S_g_corr)[oi], x_old)
             mp.pt_xyz[sel] = np.asarray(x_new)[: len(sel)]
             mp.mark_points_dirty(sel)
-        mp.kf_pose[garr] = np.asarray(sim3.to_se3(S_g_corr))[:G]
+        mp.kf_pose[garr] = np.asarray(T_g_new)[:G]
         mp.mark_kf_pose_dirty(garr)
         _lap("propagate")
 
-        # Fuse: project loop-neighborhood points into each corrected KF and
-        # replace duplicates (:518-542 + SearchAndFuse :587-613).
+        # Pause the mapping stage + keyframe creation for the staged
+        # remainder (reference: RequestStop :408 .. Release :582).
+        if self.mapper is not None:
+            self.mapper.paused = True
+        job = _CorrectionJob(
+            kf, loop_kf, group, loop_pts, S_all, corrected,
+            np.asarray(S_cw_corr),
+        )
+        self._dispatch_fuse_blocks(job)
+        self.correction_job = job
+        _lap("arm_fuse")
+
+        # Let the tracker re-anchor its last pose / velocity off the
+        # propagated correction now; the essential-graph refinement
+        # re-anchors again when it applies.
+        if self.on_pose_correction is not None:
+            T_cur_new = mp.kf_pose[kf].copy()
+            self.on_pose_correction(kf, T_cur_old, T_cur_new)
+
+    # -- staged correction: fuse ---------------------------------------
+    def _dispatch_fuse_blocks(self, job: "_CorrectionJob"):
+        """Stage the guided SearchAndFuse projections for the group
+        keyframes as _FUSE_BLOCK-sized batched programs. Only the FIRST
+        block is dispatched here — the correction frame pays one dispatch;
+        each following frame dispatches the next block while applying a
+        landed one (double-buffered)."""
+        pts_p, mask = self._pad_pts(job.loop_pts)
+        job.pts_p = pts_p
+        job.pts_idx = jnp.asarray(pts_p)
+        job.pts_mask = jnp.asarray(mask)
+        job.fuse_specs = [
+            job.group[s: s + _FUSE_BLOCK]
+            for s in range(0, len(job.group), _FUSE_BLOCK)
+        ]
+        self._dispatch_next_fuse(job)
+
+    def _dispatch_next_fuse(self, job: "_CorrectionJob"):
+        if not job.fuse_specs:
+            return
+        real_gs = job.fuse_specs.pop(0)
+        gb = np.full(_FUSE_BLOCK, real_gs[0], np.int64)
+        gb[: len(real_gs)] = real_gs
+        dev = self.map.device
+        dev.flush()
+        idx, valid = _fuse_block_program(
+            dev.kf_pose, dev.kf_desc, dev.kf_kp_valid, dev.kf_xy,
+            dev.pt_xyz, dev.pt_desc, dev.pt_valid,
+            jnp.asarray(gb), job.pts_idx, job.pts_mask,
+            self.K, max_dist=self.cfg.matcher.th_low,
+        )
+        job.fuse_blocks.append((real_gs, job.pts_p, fetch_async(idx, valid)))
+
+    def _apply_fuse_block(self, real_gs, pts_p, fut):
+        """Host mutations for one fused block: replace duplicates / add
+        missing observations (reference: LoopClosing.cc:518-542 +
+        SearchAndFuse :587-613)."""
+        mp = self.map
+        idx, valid = fut.result()
+        idx = np.asarray(idx)
+        valid = np.asarray(valid)
         n_fused = 0
-        for g in group:
-            m, pts = self._project_match_corrected(g, loop_pts)
-            ok = np.asarray(m.valid)
-            tgt_feat = np.asarray(m.idx)
+        for bi, g in enumerate(real_gs):
+            ok = valid[bi]
+            tgt_feat = idx[bi]
             for i in np.nonzero(ok)[0]:
-                loop_p = int(pts[i])
+                loop_p = int(pts_p[i])
+                if not mp.pt_valid[loop_p]:
+                    continue  # culled/replaced since dispatch
                 feat = int(tgt_feat[i])
                 cur_p = mp.kf_mp[g, feat]
                 if cur_p >= 0 and cur_p != loop_p and mp.pt_valid[cur_p]:
@@ -684,70 +1016,93 @@ class LoopClosing:
                     n_fused += 1
                 elif cur_p < 0:
                     mp.add_observation(loop_p, g, feat)
-        _dbg(f"fused {n_fused} duplicate points")
-        _lap("fuse")
-
-        # Refresh covisibility for the group (new loop connections :546-564).
-        for g in group:
+            # Refresh covisibility as each block lands (new loop
+            # connections, :546-564) instead of one bulk pass.
             mp.update_connections(g)
-        _lap("connections")
+        return n_fused
 
-        # Essential-graph optimization (:567 / Optimizer.cc:781).
-        self._optimize_essential_graph(
-            kf, loop_kf, S_before, corrected, S_cw_corr
-        )
-        _lap("essential_graph")
-        self.loop_edges.append((loop_kf, kf))
+    # -- staged correction: essential graph ----------------------------
+    def _advance_correction(self, force: bool = False) -> bool:
+        """Advance the in-flight correction by one chunk (called once per
+        tracked frame; force drains to completion). Returns True when the
+        correction fully applied this call."""
+        job = self.correction_job
+        if job is None:
+            return False
+        if job.stage == "fuse":
+            # Double-buffer: dispatch the next block, then apply one
+            # landed block — per frame cost = one dispatch + one apply.
+            self._dispatch_next_fuse(job)
+            while job.fuse_next < len(job.fuse_blocks):
+                real_gs, pts_p, fut = job.fuse_blocks[job.fuse_next]
+                if not (force or fut.done()):
+                    return False
+                job.n_fused += self._apply_fuse_block(real_gs, pts_p, fut)
+                job.fuse_next += 1
+                if not force:
+                    break  # one block per frame
+            if force:
+                while job.fuse_specs:
+                    self._dispatch_next_fuse(job)
+                    real_gs, pts_p, fut = job.fuse_blocks[job.fuse_next]
+                    job.n_fused += self._apply_fuse_block(real_gs, pts_p, fut)
+                    job.fuse_next += 1
+            if not job.fuse_specs and job.fuse_next >= len(job.fuse_blocks):
+                _dbg(f"fused {job.n_fused} duplicate points")
+                job.stage = "pg_build"
+            if not force:
+                return False
+        if job.stage == "pg_build":
+            self._build_pose_graph(job)
+            if not force:
+                return False
+        if job.stage == "pg":
+            while job.pg_iter < self.cfg.optimizer.essential_graph_its:
+                job.verts = pose_graph.gn_step(
+                    job.pg_problem, job.verts,
+                    pcg_iters=self.cfg.optimizer.pcg_iters,
+                    fix_scale=self.fix_scale,
+                )
+                job.pg_iter += 1
+                if not force:
+                    break  # one GN chunk per frame
+            if job.pg_iter >= self.cfg.optimizer.essential_graph_its:
+                self._dispatch_pg_finalize(job)
+                job.stage = "pg_fetch"
+            if not force:
+                return False
+        if job.stage == "pg_fetch":
+            if not (force or job.fetch_fut.done()):
+                return False
+            self._apply_pose_graph_result(job)
+            job.stage = "arm_gba"
+            if not force:
+                return False
+        if job.stage == "arm_gba":
+            self.loop_edges.append((job.loop_kf, job.kf))
+            # Arm the background snapshot-epoch global BA (:579 spawns
+            # the GBA thread; a running job is aborted first like
+            # :411-423 — any pre-correction job was already dropped).
+            self.gba_job = None
+            self._start_gba()
+            # Release the mapper (reference: :582).
+            if self.mapper is not None:
+                self.mapper.paused = False
+            self.correction_job = None
+            return True
+        return False
 
-        # Arm the background snapshot-epoch global BA (:579 spawns the
-        # GBA thread; a running job is aborted first like :411-423).
-        self.gba_job = None
-        self._start_gba()
-        _lap("start_gba")
-
-        # Let the tracker re-anchor its last pose / velocity.
-        if self.on_pose_correction is not None:
-            T_cur_new = mp.kf_pose[kf].copy()
-            self.on_pose_correction(kf, T_cur_old, T_cur_new)
-
-    def _project_match_corrected(self, g: int, loop_pts: np.ndarray):
-        """Guided match of loop points into KF g at its (already corrected)
-        SE3 pose."""
-        pts_p, mask = self._pad_pts(loop_pts)
-        T = jnp.asarray(self.map.kf_pose[g])
-        xc = se3.apply(T, jnp.asarray(self.map.pt_xyz[pts_p]))
-        uv = camera.project(xc, self.K)
-        radii = jnp.full((len(pts_p),), 8.0, jnp.float32)
-        m = match.match(
-            jnp.asarray(self.map.pt_desc[pts_p]),
-            jnp.asarray(self.map.kf_desc[g]),
-            jnp.asarray(xc[:, 2] > 0) & jnp.asarray(mask),
-            jnp.asarray(self.map.kf_kp_valid[g]),
-            pair_mask=match.window_mask(uv, radii, jnp.asarray(self.map.kf_xy[g])),
-            max_dist=self.cfg.matcher.th_low,
-            nn_ratio=1.0,
-        )
-        return m, pts_p
-
-    # ------------------------------------------------------------------
-    def _optimize_essential_graph(self, kf, loop_kf, S_before, corrected, S_cw_corr):
-        """Build the fixed-shape Sim3 pose graph and solve it
-        (reference: Optimizer::OptimizeEssentialGraph :781-1044).
-
-        Edge assembly is fully vectorized (the round-2/3 version built
-        edges in nested Python loops over live x Nk): spanning-tree and
-        strong-covisibility pairs come from array ops, measurements from
-        ONE batched sim3 compose over the stacked pair list."""
+    def _build_pose_graph(self, job: "_CorrectionJob"):
+        """Assemble the fixed-shape Sim3 pose graph on the host
+        (reference: Optimizer::OptimizeEssentialGraph :781-1044 edge
+        sets). Runs after fuse so the refreshed covisibility contributes
+        the new loop connections."""
         mp = self.map
         live = mp.live_keyframes()
         Nk = mp.kf_pose.shape[0]
         live_arr = np.asarray(live, np.int64)
-
-        # S_before as a dense (Nk, 8) host array. The caller's snapshot
-        # dict holds the pre-correction values; dead slots get identity.
-        S_before_arr = np.tile(np.asarray(sim3.identity()), (Nk, 1))
-        for k, S in S_before.items():
-            S_before_arr[k] = np.asarray(S)
+        kf, loop_kf = job.kf, job.loop_kf
+        S_before_arr = job.S_before_arr  # (Nk, 8) pre-correction snapshot
 
         # --- edge pair assembly (vectorized) ---
         # Spanning tree (:898-923).
@@ -793,7 +1148,10 @@ class LoopClosing:
         Si = jnp.asarray(S_before_arr[ei_p], jnp.float32)
         meas = np.array(sim3.compose(Sj, sim3.inverse(Si)))
         meas[0] = np.asarray(
-            sim3.compose(S_cw_corr, sim3.inverse(jnp.asarray(S_before_arr[loop_kf])))
+            sim3.compose(
+                jnp.asarray(job.S_cw_corr),
+                sim3.inverse(jnp.asarray(S_before_arr[loop_kf])),
+            )
         )
         meas[E:] = np.asarray(sim3.identity())
 
@@ -801,16 +1159,16 @@ class LoopClosing:
         v_valid = np.zeros(Nk, bool)
         verts[live_arr] = S_before_arr[live_arr]
         v_valid[live_arr] = True
-        for k, S in corrected.items():
+        for k, S in job.corrected.items():
             verts[k] = np.asarray(S)
         v_fixed = np.zeros(Nk, bool)
         v_fixed[loop_kf] = True
 
         # Edge axis already padded to the pow2 bucket above: the problem
-        # shape repeats across loop events and optimize_pose_graph
-        # compiles once per bucket (padding edges are weight-0,
-        # valid=False self-loops at vertex 0).
-        problem = pose_graph.PoseGraphProblem(
+        # shape repeats across loop events and the GN step compiles once
+        # per bucket (padding edges are weight-0, valid=False self-loops
+        # at vertex 0).
+        job.pg_problem = pose_graph.PoseGraphProblem(
             vertices=jnp.asarray(verts, jnp.float32),
             v_fixed=jnp.asarray(v_fixed),
             v_valid=jnp.asarray(v_valid),
@@ -822,54 +1180,84 @@ class LoopClosing:
             ),
             edge_valid=jnp.asarray([True] * E + [False] * (Ep - E)),
         )
+        job.live_arr = live_arr
+        job.live_serials = mp.kf_serial[live_arr].copy()
         if len(jax.devices()) > 1:
-            # Edge-sharded SPMD solve over the device mesh
-            # (parallel/dpose_graph).
+            # Edge-sharded SPMD solve over the device mesh — ONE dispatch
+            # (parallel/dpose_graph), polled like _ShardedGbaJob.
             from c_orb_slam_tpu.parallel import dpose_graph
 
-            out = dpose_graph.distributed_pose_graph(
-                problem,
+            job.verts = dpose_graph.distributed_pose_graph(
+                job.pg_problem,
                 iters=self.cfg.optimizer.essential_graph_its,
                 pcg_iters=self.cfg.optimizer.pcg_iters,
                 fix_scale=self.fix_scale,
             )
+            job.pg_iter = self.cfg.optimizer.essential_graph_its
+            self._dispatch_pg_finalize(job)
+            job.stage = "pg_fetch"
         else:
-            out = pose_graph.optimize_pose_graph(
-                problem,
-                iters=self.cfg.optimizer.essential_graph_its,
-                pcg_iters=self.cfg.optimizer.pcg_iters,
-                fix_scale=self.fix_scale,
-            )
-        out_np = np.asarray(out)
+            # Chunked GN: one jitted iteration per tracked frame.
+            job.verts = job.pg_problem.vertices
+            job.stage = "pg"
 
-        # Remap points via their reference KF's correction (:1013-1043):
-        # x' = S_new^-1 ( S_old x ). S_old must match the vertex the solve
-        # started from (corrected.get(ref, S_before[ref]) == verts[ref]).
+    def _dispatch_pg_finalize(self, job: "_CorrectionJob"):
+        """Dispatch the point remap + SE3 recovery program and its async
+        readback (the last device work of the correction)."""
+        mp = self.map
         pts = mp.live_points()
-        if len(pts):
-            # Pow2 point bucket: stable compile cache across loop events.
-            P = len(pts)
-            PP = 1 << (P - 1).bit_length()
-            pts_p = np.zeros(PP, np.int64)
-            pts_p[:P] = pts
-            ref = mp.pt_ref_kf[pts_p]
-            ref = np.where(
-                (ref >= 0) & mp.kf_valid[np.maximum(ref, 0)], ref, live[0]
-            )
-            S_old = jnp.asarray(verts[ref], jnp.float32)
-            S_new = jnp.asarray(out_np[ref], jnp.float32)
-            x = jnp.asarray(mp.pt_xyz[pts_p])
-            x_cam = sim3.apply(S_old, x)
-            x_new = sim3.apply(sim3.inverse(S_new), x_cam)
-            mp.pt_xyz[pts] = np.asarray(x_new)[:P]
-            mp.mark_points_dirty(pts)
+        P = len(pts)
+        PP = max(16, 1 << (max(P, 1) - 1).bit_length())
+        pts_p = np.zeros(PP, np.int64)
+        pts_p[:P] = pts
+        live = job.live_arr
+        ref = mp.pt_ref_kf[pts_p]
+        ref = np.where(
+            (ref >= 0) & mp.kf_valid[np.maximum(ref, 0)], ref,
+            live[0] if len(live) else 0,
+        )
+        x_new, T_all = _pg_finalize_program(
+            job.pg_problem.vertices, job.verts,
+            jnp.asarray(ref), jnp.asarray(mp.pt_xyz[pts_p]),
+        )
+        job.pts_p = pts_p
+        job.n_pts = P
+        job.pt_serials = mp.pt_serial[pts_p[:P]].copy()
+        job.fetch_fut = fetch_async(x_new, T_all)
 
-        # Write back SE3 poses (t/s, :991-1010) — one batched conversion
-        # at the fixed (Nk,) shape.
-        T_all = np.asarray(sim3.to_se3(jnp.asarray(out_np, jnp.float32)))
-        mp.kf_pose[live_arr] = T_all[live_arr]
-        mp.mark_kf_pose_dirty(live)
-        mp.update_points_batch(pts)
+    def _apply_pose_graph_result(self, job: "_CorrectionJob"):
+        """Write the essential-graph solve back into the map. LocalMapping
+        was paused for the whole window so the topology is frozen, but
+        every write is still serial-guarded (defense in depth against a
+        future scheduling change)."""
+        mp = self.map
+        if self.on_before_correction is not None:
+            self.on_before_correction()
+        x_new, T_all = job.fetch_fut.result()
+        x_new = np.asarray(x_new)
+        T_all = np.asarray(T_all)
+
+        live = job.live_arr
+        ok = mp.kf_valid[live] & (mp.kf_serial[live] == job.live_serials)
+        lv = live[ok]
+        T_kf_before = mp.kf_pose[job.kf].copy()
+        mp.kf_pose[lv] = T_all[lv]
+        mp.mark_kf_pose_dirty(lv)
+
+        pts = job.pts_p[: job.n_pts]
+        okp = mp.pt_valid[pts] & (mp.pt_serial[pts] == job.pt_serials)
+        mp.pt_xyz[pts[okp]] = x_new[: job.n_pts][okp]
+        mp.mark_points_dirty(pts[okp])
+        mp.update_points_batch(pts[okp])
+        mp.big_change_idx += 1
+        _dbg(
+            f"essential graph applied: {len(lv)} KFs, {int(okp.sum())} pts"
+        )
+        # Re-anchor the tracker off the current KF's refinement delta.
+        if self.on_pose_correction is not None and bool(
+            mp.kf_valid[job.kf]
+        ):
+            self.on_pose_correction(job.kf, T_kf_before, T_all[job.kf])
 
     # ------------------------------------------------------------------
     # Global BA — snapshot-epoch background solve (SURVEY.md §7.3).
@@ -1051,6 +1439,16 @@ class LoopClosing:
                     progressed = True
             if not progressed:
                 break
+        # A keyframe whose parent chain never resolves (e.g. a spanning
+        # parent culled into a dead slot) keeps its pre-GBA pose while the
+        # rest of the map shifts — make that visible instead of silent.
+        unresolved = [k for k in rest if k not in T_new]
+        self.n_gba_replay_unresolved = len(unresolved)
+        if unresolved:
+            _dbg(
+                f"GBA replay: {len(unresolved)} keyframes kept pre-GBA "
+                f"poses (unresolved parent chains): {unresolved[:8]}"
+            )
 
         # 3. Points: snapshot points (same identity) take the solved
         # position; points born during the solve move with their

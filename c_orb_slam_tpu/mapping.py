@@ -296,6 +296,11 @@ class LocalMapping:
         self._current_kf: int = -1
         self.on_keyframe_done = None  # callback(kf) -> feeds LoopClosing
         self.metrics = None  # optional Metrics registry (set by System)
+        # Set by LoopClosing for the staged-correction window: keyframes
+        # queue but no stage runs, so the map topology is frozen while
+        # the essential graph solves (reference: RequestStop/Release,
+        # LoopClosing.cc:408,582).
+        self.paused = False
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int):
@@ -329,6 +334,8 @@ class LocalMapping:
         the map's needs (its new points arrive late, starving tracking),
         so it spends more of each frame catching up until the queue
         clears. Host-side wall clock only — the device work is async."""
+        if self.paused:
+            return
         q = len(self.queue)
         if q:
             budget_ms = min(budget_ms * (1 + q), 40.0)
@@ -382,8 +389,10 @@ class LocalMapping:
 
     def drain(self):
         """Run the pipeline to empty (shutdown/reset/loop-closing barrier —
-        the reference's RequestStop + spin-wait, LoopClosing.cc:408-429)."""
-        while self.queue or self._stages:
+        the reference's RequestStop + spin-wait, LoopClosing.cc:408-429).
+        A no-op while paused: the correction window owns the map; the
+        System's shutdown loop drains the correction first."""
+        while not self.paused and (self.queue or self._stages):
             self.step()
 
     def _ba_dispatch_if_ready(self, kf: int):

@@ -168,7 +168,7 @@ def solve_pnp_ransac(
     # hypotheses on their own consensus sets and re-score: the success
     # probability then scales with the 5-of-6 draw rate instead.
     obs3 = jnp.concatenate([uv, jnp.zeros((m, 1), uv.dtype)], axis=1)
-    TOP_K = 8
+    TOP_K = min(8, n_hypotheses)  # small-hypothesis callers stay legal
     top = jax.lax.top_k(counts, TOP_K)[1]
 
     def polish(i):

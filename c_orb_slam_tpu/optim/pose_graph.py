@@ -48,14 +48,9 @@ def _edge_residual(xi_i, xi_j, S_i, S_j, S_ji):
     return sim3.log(sim3.compose(S_ji, sim3.compose(Si, sim3.inverse(Sj))))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "pcg_iters", "fix_scale"))
-def optimize_pose_graph(
-    p: PoseGraphProblem,
-    iters: int = 20,
-    pcg_iters: int = 50,
-    fix_scale: bool = False,
-) -> jnp.ndarray:
-    """Returns optimized (K, 8) Sim3 vertices."""
+def _gn_iter_impl(p: PoseGraphProblem, verts, pcg_iters: int,
+                  fix_scale: bool):
+    """One Gauss-Newton iteration on the Sim3 pose graph (traceable)."""
     K = p.vertices.shape[0]
     zero = jnp.zeros(7, jnp.float32)
 
@@ -64,85 +59,115 @@ def optimize_pose_graph(
     if fix_scale:
         scale_mask = scale_mask.at[6].set(0.0)
 
-    def gn_iter(verts, _):
-        S_i = verts[p.edge_i]
-        S_j = verts[p.edge_j]
+    S_i = verts[p.edge_i]
+    S_j = verts[p.edge_j]
 
-        r = jax.vmap(_edge_residual, in_axes=(None, None, 0, 0, 0))(
-            zero, zero, S_i, S_j, p.edge_Sji
-        )  # (E, 7)
-        Ji = jax.vmap(
-            jax.jacrev(_edge_residual, argnums=0), in_axes=(None, None, 0, 0, 0)
-        )(zero, zero, S_i, S_j, p.edge_Sji)  # (E, 7, 7)
-        Jj = jax.vmap(
-            jax.jacrev(_edge_residual, argnums=1), in_axes=(None, None, 0, 0, 0)
-        )(zero, zero, S_i, S_j, p.edge_Sji)
+    r = jax.vmap(_edge_residual, in_axes=(None, None, 0, 0, 0))(
+        zero, zero, S_i, S_j, p.edge_Sji
+    )  # (E, 7)
+    Ji = jax.vmap(
+        jax.jacrev(_edge_residual, argnums=0), in_axes=(None, None, 0, 0, 0)
+    )(zero, zero, S_i, S_j, p.edge_Sji)  # (E, 7, 7)
+    Jj = jax.vmap(
+        jax.jacrev(_edge_residual, argnums=1), in_axes=(None, None, 0, 0, 0)
+    )(zero, zero, S_i, S_j, p.edge_Sji)
 
-        w = (p.edge_weight * p.edge_valid).astype(jnp.float32)  # (E,)
+    w = (p.edge_weight * p.edge_valid).astype(jnp.float32)  # (E,)
 
-        # Gradient: g = -J^T W r, scattered to vertices.
-        gi = -jnp.einsum("eab,ea,e->eb", Ji, r, w)
-        gj = -jnp.einsum("eab,ea,e->eb", Jj, r, w)
-        g = jnp.zeros((K, 7), jnp.float32)
-        g = g.at[p.edge_i].add(gi).at[p.edge_j].add(gj)
-        g = g * free * scale_mask
+    # Gradient: g = -J^T W r, scattered to vertices.
+    gi = -jnp.einsum("eab,ea,e->eb", Ji, r, w)
+    gj = -jnp.einsum("eab,ea,e->eb", Jj, r, w)
+    g = jnp.zeros((K, 7), jnp.float32)
+    g = g.at[p.edge_i].add(gi).at[p.edge_j].add(gj)
+    g = g * free * scale_mask
 
-        # Block-diagonal preconditioner blocks.
-        Hii = jnp.einsum("eab,eac,e->ebc", Ji, Ji, w)
-        Hjj = jnp.einsum("eab,eac,e->ebc", Jj, Jj, w)
-        Hdiag = jnp.zeros((K, 7, 7), jnp.float32)
-        Hdiag = Hdiag.at[p.edge_i].add(Hii).at[p.edge_j].add(Hjj)
-        Hdiag = Hdiag + 1e-5 * jnp.eye(7)
-        Hdiag_inv = jnp.linalg.inv(Hdiag)
+    # Block-diagonal preconditioner blocks.
+    Hii = jnp.einsum("eab,eac,e->ebc", Ji, Ji, w)
+    Hjj = jnp.einsum("eab,eac,e->ebc", Jj, Jj, w)
+    Hdiag = jnp.zeros((K, 7, 7), jnp.float32)
+    Hdiag = Hdiag.at[p.edge_i].add(Hii).at[p.edge_j].add(Hjj)
+    Hdiag = Hdiag + 1e-5 * jnp.eye(7)
+    Hdiag_inv = jnp.linalg.inv(Hdiag)
 
-        def matvec(x):  # x: (K, 7)
-            x = x * free * scale_mask
-            xi = x[p.edge_i]
-            xj = x[p.edge_j]
-            y = jnp.einsum("eab,eb->ea", Ji, xi) + jnp.einsum(
-                "eab,eb->ea", Jj, xj
-            )  # (E, 7) residual-space
-            y = y * w[:, None]
-            out = jnp.zeros((K, 7), jnp.float32)
-            out = out.at[p.edge_i].add(jnp.einsum("eab,ea->eb", Ji, y))
-            out = out.at[p.edge_j].add(jnp.einsum("eab,ea->eb", Jj, y))
-            out = out + 1e-5 * x  # tiny damping keeps PCG positive-definite
-            return out * free * scale_mask
+    def matvec(x):  # x: (K, 7)
+        x = x * free * scale_mask
+        xi = x[p.edge_i]
+        xj = x[p.edge_j]
+        y = jnp.einsum("eab,eb->ea", Ji, xi) + jnp.einsum(
+            "eab,eb->ea", Jj, xj
+        )  # (E, 7) residual-space
+        y = y * w[:, None]
+        out = jnp.zeros((K, 7), jnp.float32)
+        out = out.at[p.edge_i].add(jnp.einsum("eab,ea->eb", Ji, y))
+        out = out.at[p.edge_j].add(jnp.einsum("eab,ea->eb", Jj, y))
+        out = out + 1e-5 * x  # tiny damping keeps PCG positive-definite
+        return out * free * scale_mask
 
-        def precond(x):
-            return jnp.einsum("kab,kb->ka", Hdiag_inv, x) * free * scale_mask
+    def precond(x):
+        return jnp.einsum("kab,kb->ka", Hdiag_inv, x) * free * scale_mask
 
-        # PCG on H dx = g.
-        x = jnp.zeros((K, 7), jnp.float32)
-        rr = g - matvec(x)
+    # PCG on H dx = g.
+    x = jnp.zeros((K, 7), jnp.float32)
+    rr = g - matvec(x)
+    z = precond(rr)
+    d = z
+    rz = jnp.sum(rr * z)
+
+    def pcg_body(state, _):
+        x, rr, d, rz = state
+        Hd = matvec(d)
+        alpha = rz / jnp.maximum(jnp.sum(d * Hd), 1e-20)
+        x = x + alpha * d
+        rr = rr - alpha * Hd
         z = precond(rr)
-        d = z
-        rz = jnp.sum(rr * z)
+        rz_new = jnp.sum(rr * z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        d = z + beta * d
+        return (x, rr, d, rz_new), None
 
-        def pcg_body(state, _):
-            x, rr, d, rz = state
-            Hd = matvec(d)
-            alpha = rz / jnp.maximum(jnp.sum(d * Hd), 1e-20)
-            x = x + alpha * d
-            rr = rr - alpha * Hd
-            z = precond(rr)
-            rz_new = jnp.sum(rr * z)
-            beta = rz_new / jnp.maximum(rz, 1e-20)
-            d = z + beta * d
-            return (x, rr, d, rz_new), None
+    (x, _, _, _), _ = jax.lax.scan(
+        pcg_body, (x, rr, d, rz), None, length=pcg_iters
+    )
+    dx = x * free * scale_mask
 
-        (x, _, _, _), _ = jax.lax.scan(
-            pcg_body, (x, rr, d, rz), None, length=pcg_iters
-        )
-        dx = x * free * scale_mask
+    verts_new = jax.vmap(lambda xi, S: sim3.compose(sim3.exp(xi), S))(
+        dx, verts
+    )
+    keep = (p.v_valid & ~p.v_fixed)[:, None]
+    return jnp.where(keep, verts_new, verts)
 
-        verts_new = jax.vmap(lambda xi, S: sim3.compose(sim3.exp(xi), S))(
-            dx, verts
-        )
-        keep = (p.v_valid & ~p.v_fixed)[:, None]
-        return jnp.where(keep, verts_new, verts), None
 
-    verts, _ = jax.lax.scan(gn_iter, p.vertices, None, length=iters)
+@functools.partial(jax.jit, static_argnames=("pcg_iters", "fix_scale"))
+def gn_step(
+    p: PoseGraphProblem,
+    verts: jnp.ndarray,
+    pcg_iters: int = 50,
+    fix_scale: bool = False,
+) -> jnp.ndarray:
+    """ONE jitted Gauss-Newton iteration on the pose graph.
+
+    The chunking unit for LoopClosing's background essential-graph job:
+    one step dispatched per tracked frame, so the solve interleaves with
+    tracking programs on the chip instead of stalling the correction frame
+    (the reference runs OptimizeEssentialGraph on its loop thread while
+    Tracking continues, src/LoopClosing.cc:567 / Tracking.cc:277)."""
+    return _gn_iter_impl(p, verts, pcg_iters, fix_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "pcg_iters", "fix_scale"))
+def optimize_pose_graph(
+    p: PoseGraphProblem,
+    iters: int = 20,
+    pcg_iters: int = 50,
+    fix_scale: bool = False,
+) -> jnp.ndarray:
+    """Returns optimized (K, 8) Sim3 vertices (whole solve in one jit —
+    the unit-test / dryrun surface; the live System chunks via gn_step)."""
+
+    def body(verts, _):
+        return _gn_iter_impl(p, verts, pcg_iters, fix_scale), None
+
+    verts, _ = jax.lax.scan(body, p.vertices, None, length=iters)
     return verts
 
 

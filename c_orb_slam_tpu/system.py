@@ -89,6 +89,7 @@ class System:
             self.loop_closing.on_before_correction = (
                 self.tracker.flush_pending
             )
+            self.loop_closing.mapper = self.local_mapping
             self.tracker.reloc_provider = self.loop_closing
         self.tracker.mapper = self.local_mapping
         self.local_mapping.on_keyframe_done = self._on_mapping_done
@@ -180,6 +181,17 @@ class System:
                     # One background-GBA chunk per frame (see
                     # LoopClosing.advance_background).
                     self.loop_closing.advance_background()
+        elif self.loop_closing is not None and (
+            self.loop_closing.gba_job is not None
+            or self.loop_closing.correction_job is not None
+        ):
+            # Localization mode stops mapping/loop detection, but a
+            # correction/GBA armed before the switch still advances (it
+            # mutates only the map, not the mapper) — otherwise the job
+            # freezes and queries serve the uncorrected map until
+            # shutdown.
+            with self.metrics.stage("loop_stage"):
+                self.loop_closing.advance_background()
         self.metrics.end_frame(
             frame_id=self.tracker.frame_id,
             timestamp=timestamp,
@@ -242,11 +254,23 @@ class System:
 
     def shutdown(self):
         """Drain the tracking, mapping and loop pipelines (the reference
-        joins its threads, System.cc:301-320)."""
+        joins its threads incl. the GBA wait, System.cc:301-320)."""
+        self._drain_all()
+
+    def _drain_all(self):
+        """Settle every pipeline: the loop closer first (an in-flight
+        staged correction holds the mapper paused), then mapping (whose
+        finished keyframes may arm a NEW loop event), iterating to a
+        fixed point."""
         self.tracker.flush_pending()
-        self.local_mapping.drain()
-        if self.loop_closing is not None:
-            self.loop_closing.drain()
+        for _ in range(8):
+            if self.loop_closing is not None:
+                self.loop_closing.drain()
+            self.local_mapping.drain()
+            if self.local_mapping.queue_len() == 0 and (
+                self.loop_closing is None or self.loop_closing.idle()
+            ):
+                break
 
     def map_changed(self) -> bool:
         """Reference: System::MapChanged (System.cc:282-293)."""
@@ -318,10 +342,7 @@ class System:
         mapping pipeline first so the snapshot is fully processed."""
         from c_orb_slam_tpu.io import checkpoint
 
-        self.tracker.flush_pending()
-        self.local_mapping.drain()
-        if self.loop_closing is not None:
-            self.loop_closing.drain()
+        self._drain_all()
         voc = self.loop_closing.voc if self.loop_closing else None
         checkpoint.save_map(path, self.map, voc)
 

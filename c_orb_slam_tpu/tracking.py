@@ -1220,11 +1220,15 @@ class Tracking:
         else:
             accept = n >= need
         if not accept:
-            # No side effects on a rejected pass: the wide retry in
-            # _fused_apply re-runs this postprocess, and committing
-            # visible/found increments or descriptor refreshes here would
-            # double-count the frame (skewing the found/visible culling
-            # ratio) and bake in stats from a rejected pose.
+            # No side effects on the MAP on a rejected pass: the wide
+            # retry in _fused_apply re-runs this postprocess, and
+            # committing visible/found increments or descriptor refreshes
+            # here would double-count the frame (skewing the found/visible
+            # culling ratio) and bake in stats from a rejected pose. The
+            # tracker-local inlier count IS updated so System's thin-drain
+            # heuristic and per-frame metrics see this frame, not the
+            # previous one, when the sync fallback also fails.
+            self.current_inliers = n
             return False, pose2, new_mp
         self.map.pt_visible[safe[in_view]] += 1
         self.map.pt_found[found[found >= 0]] += 1
@@ -1548,6 +1552,11 @@ class Tracking:
         if n_kf == 0:
             return False
         mapper = getattr(self, "mapper", None)
+        if mapper is not None and getattr(mapper, "paused", False):
+            # A loop correction's staged window froze the map topology
+            # (reference: NeedNewKeyFrame bails while LocalMapping is
+            # stopped by a loop closure, Tracking.cc:992-996).
+            return False
         # "Accepting keyframes" (reference: AcceptKeyFrames,
         # LocalMapping.cc:55,103): the reference's mapper drains a whole
         # keyframe in one slice, so it is idle between keyframes; our

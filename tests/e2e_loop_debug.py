@@ -147,6 +147,13 @@ def run(sensor=Sensor.MONOCULAR, n_frames=240, n_feat=800, verbose=True,
         f" ATE{'(scaled)' if with_scale else ''} = {ate:.4f} m"
     )
     print(f"wall: {dt:.1f}s ({dt/n_frames*1000:.0f} ms/frame)")
+    if loops_at:
+        med = float(np.median(frame_times))
+        print(
+            f"correction frame {loops_at[0]}: "
+            f"{frame_times[loops_at[0]]*1000:.0f} ms "
+            f"(median frame {med*1000:.0f} ms)"
+        )
     # Per-frame wall times (frame build + track + mapping/loop stages),
     # exposed for the loop-event latency assertion in test_e2e_loop.
     run.last_frame_times = frame_times

@@ -62,18 +62,32 @@ def test_stereo_orbit_closes_loop_nonblocking():
             f"applied at {run.last_gba_at[0]})"
         )
     # And the post-loop advance frames each stay near the run median:
-    # every frame between correction and apply carries ONE LM chunk.
+    # every frame between correction and apply carries ONE chunk (a fuse
+    # block, an essential-graph GN step, or a GBA LM step).
     t = np.asarray(run.last_frame_times)
     lo = run.last_loops_at[0] + 1
     hi = run.last_gba_at[0] if run.last_gba_at else len(t)
     med = float(np.median(t[6:lo]))
-    worst = float(t[lo:hi].max()) if hi > lo else 0.0
-    # Absolute floor 30 s: on a COLD suite run the first lm_step chunk
-    # pays its jit compile inside one frame; only a frame eating the
-    # whole multi-iteration solve should trip this.
-    assert worst < max(8 * med, 30.0), (
-        f"a GBA-advance frame took {worst:.1f}s (median {med:.2f}s): "
+    # On a COLD suite run each staged program (fuse block, pose-graph
+    # chunk/dispatch, finalize, first lm_step) pays its jit compile
+    # inside exactly ONE frame; allow two such outliers and bound the
+    # REST — a solve loading single frames makes many frames slow, and
+    # the spread assertion above already catches an inline solve.
+    win = np.sort(t[lo:hi])[::-1] if hi > lo else np.zeros(1)
+    sustained = float(win[2]) if len(win) > 2 else float(win[0])
+    assert sustained < max(8 * med, 30.0), (
+        f"post-loop frames sustain {sustained:.1f}s (median {med:.2f}s): "
         "the background solve is loading single frames"
+    )
+    # The correction frame itself carries only the fused propagate
+    # program + ONE fuse-block dispatch (round 4 ran the whole
+    # correction inline: 8.2 s on chip = ~80 dropped frames at 10 Hz;
+    # measured now ~0.75 s ≈ 1x the median chip frame). The 30 s floor
+    # is the cold-compile allowance for _propagate_program on CI.
+    t_corr = float(t[run.last_loops_at[0]])
+    assert t_corr < max(8 * med, 30.0), (
+        f"the correction frame took {t_corr:.1f}s (median {med:.2f}s): "
+        "the correction is running inline again"
     )
 
 

@@ -132,6 +132,82 @@ def test_pose_graph_closes_drifted_loop():
     # to the loop edge must snap back.
     assert err1 < 0.02, f"loop not closed: {err1} (start {err0})"
 
+    # The chunked path (one gn_step per tracked frame — LoopClosing's
+    # background essential-graph job) must land on the same result as the
+    # one-shot jitted solve.
+    verts = p.vertices
+    for _ in range(25):
+        verts = pose_graph.gn_step(p, verts, pcg_iters=40)
+    np.testing.assert_allclose(
+        np.asarray(verts), np.asarray(out), rtol=0, atol=1e-5
+    )
+
+
+def test_search_by_sim3_widening_grows_matches():
+    """SearchBySim3 widening (reference: ORBmatcher.cc:1102-1326 via
+    LoopClosing.cc:323-326): starting from a PARTIAL base match set (the
+    BoW-biased RANSAC inliers), the bidirectional Sim3-guided projection
+    with two-way agreement must recover most of the remaining
+    correspondences on a synthetic two-keyframe pair."""
+    from c_orb_slam_tpu.config import CameraConfig, OrbConfig, SlamConfig
+    from c_orb_slam_tpu.loop_closing import LoopClosing
+    from c_orb_slam_tpu.slam_map.mapstate import MapState
+
+    rng = np.random.default_rng(3)
+    cfg = SlamConfig(
+        camera=CameraConfig(fx=500, fy=500, cx=320, cy=240,
+                            width=640, height=480, fps=10),
+        orb=OrbConfig(n_features=128, n_levels=2),
+    )
+    mp = MapState(cfg)
+    N = 60
+    xyz = np.c_[rng.uniform(-2, 2, (N, 2)), rng.uniform(5, 9, N)].astype(
+        np.float32
+    )
+    desc = rng.integers(0, 2**32, (N, 8), dtype=np.uint64).astype(np.uint32)
+
+    def proj(T, x):
+        xc = x @ T[:, :3].T + T[:, 3]
+        return np.stack(
+            [500 * xc[:, 0] / xc[:, 2] + 320, 500 * xc[:, 1] / xc[:, 2] + 240],
+            axis=1,
+        ).astype(np.float32)
+
+    T1 = np.eye(3, 4, dtype=np.float32)
+    T2 = np.eye(3, 4, dtype=np.float32)
+    T2[:, 3] = [0.3, 0.0, 0.1]
+    k1 = mp.add_keyframe(0, T1, proj(T1, xyz), np.zeros(N, np.int32),
+                         np.zeros(N, np.float32), desc, np.ones(N, bool))
+    perm = rng.permutation(N)  # cand's features in a different order
+    k2 = mp.add_keyframe(1, T2, proj(T2, xyz)[perm], np.zeros(N, np.int32),
+                         np.zeros(N, np.float32), desc[perm],
+                         np.ones(N, bool))
+    for i in range(N):
+        p = mp.add_point(xyz[i], desc[i], k1)
+        mp.add_observation(p, k1, i)
+        mp.add_observation(p, k2, int(np.nonzero(perm == i)[0][0]))
+
+    lc = LoopClosing(cfg, mp, vocabulary=None)
+    # True S12 maps cand-camera coords -> current-camera coords.
+    from c_orb_slam_tpu.geometry import np_se3
+
+    S12 = sim3.from_se3(
+        jnp.asarray(np_se3.compose(T1, np_se3.inverse(T2)))
+    )
+    # Partial base: only 12 of the 60 true pairs (feature-index pairs).
+    base_f1 = np.arange(12)
+    base_f2 = np.asarray(
+        [int(np.nonzero(perm == i)[0][0]) for i in base_f1]
+    )
+    u1, u2 = lc._widen_sim3_matches(k1, k2, S12, base_f1, base_f2)
+    assert len(u1) > len(base_f1) + 20, (
+        f"widening recovered only {len(u1) - len(base_f1)} fresh pairs"
+    )
+    # Every union pair must link the same physical map point.
+    mp1 = mp.kf_mp[k1][u1]
+    mp2 = mp.kf_mp[k2][u2]
+    assert (mp1 == mp2).mean() > 0.95
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
