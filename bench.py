@@ -49,13 +49,22 @@ def _run_config(name, sensor, cam_kwargs, orb_kwargs, n_frames, warmup,
     K4 = (cam.fx, cam.fy, cam.cx, cam.cy)
     stereo = sensor == Sensor.STEREO
     wh = dict(h=cam.height, w=cam.width)
+
+    def _u8(im):
+        # Feed 8-bit images like the real datasets (the reference reads
+        # 8-bit PNGs, Examples/Stereo/stereo_kitti.cc:85): the System
+        # uploads uint8 and casts on device, quartering the image h2d
+        # payload — the dominant per-frame transfer at KITTI geometry
+        # (2x 1.9MB float32 -> 2x 0.47MB).
+        return np.clip(im, 0, 255).astype(np.uint8)
+
     frames = []
     for i in range(n_frames):
         if stereo:
-            frames.append(render_stereo_pair(
-                xw, inten, size, traj[i], K4, baseline, **wh))
+            frames.append(tuple(_u8(im) for im in render_stereo_pair(
+                xw, inten, size, traj[i], K4, baseline, **wh)))
         else:
-            frames.append(render_scene(xw, inten, size, traj[i], K4, **wh))
+            frames.append(_u8(render_scene(xw, inten, size, traj[i], K4, **wh)))
 
     sysm = System(cfg)
 

@@ -299,7 +299,14 @@ def load_dbow2_text(path: str, levels_up: int = 4) -> Vocabulary:
     word_weight = np.zeros(n_words, np.float32)
 
     # BFS mapping: dense slot of child c of dense-node i at level l is
-    # i*k + c. DBoW2 trees can be ragged; missing slots stay invalid.
+    # i*k + c. DBoW2 trees can be ragged (legal per the format,
+    # TemplatedVocabulary.h:1338-1424 — the real ORBvoc is ragged):
+    # a leaf may terminate ABOVE depth L. The fixed-depth batched
+    # descent (_transform) always walks L levels, so a shallow leaf is
+    # VIRTUALIZED as a single-child descriptor chain down to depth L —
+    # the descent then lands on a unique word slot carrying the leaf's
+    # weight (the round-4 loader gave such leaves weight 0 and no word:
+    # silent vocabulary corruption).
     stack = [(0, 0, 0)]  # (dbow_node_id, level, dense_index)
     while stack:
         nid, level, dense = stack.pop()
@@ -308,13 +315,15 @@ def load_dbow2_text(path: str, levels_up: int = 4) -> Vocabulary:
             parent, is_leaf, d, w = nodes[child - 1]
             levels_desc[level][slot] = d
             levels_valid[level][slot] = True
-            if level + 1 < L and not is_leaf:
+            if is_leaf or level + 1 == L:
+                s = slot
+                for lv in range(level + 1, L):
+                    s = s * k  # child 0 all the way down (no real
+                    levels_desc[lv][s] = d  # children exist: it's a leaf)
+                    levels_valid[lv][s] = True
+                word_weight[s] = w
+            else:
                 stack.append((child, level + 1, slot))
-            if level + 1 == L or is_leaf:
-                # Leaves can occur above depth L in ragged trees; deep-slot
-                # them at their dense position if terminal at the last level.
-                if level + 1 == L:
-                    word_weight[slot] = w
 
     return Vocabulary(
         k=k, L=L,

@@ -54,12 +54,14 @@ def initialize(
     configured anywhere) are a no-op, and repeated calls are idempotent.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return jax.process_count() > 1
     # Join only on an explicit coordinator (argument or env).
     # TPU_WORKER_HOSTNAMES is deliberately NOT used as a trigger: single-
     # host tunnels set it to "localhost" and joining would hang.
+    # NOTE: no jax.process_count()/jax.devices() probe before the join —
+    # any backend-initialising call makes jax.distributed.initialize()
+    # a hard error (it must run before the XLA backend exists).
     env_configured = any(
         os.environ.get(k)
         for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
@@ -73,7 +75,13 @@ def initialize(
         kwargs["num_processes"] = num_processes
     if process_id is not None:
         kwargs["process_id"] = process_id
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        # Idempotency: a pod runtime auto-initialised earlier is fine;
+        # calling after backend init is a caller bug and re-raises.
+        if "only be called once" not in str(e):
+            raise
     _initialized = True
     return jax.process_count() > 1
 

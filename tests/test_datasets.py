@@ -176,6 +176,25 @@ def test_stereo_kitti_cli_runs(kitti_dir, tmp_path):
     assert len(lines) >= 6, f"only {len(lines)} poses exported"
     assert len(lines[0].split()) == 12  # KITTI: flattened 3x4
 
+    # Accuracy gate on the PRODUCT SURFACE (not just exit-code smoke):
+    # the saved KITTI rows are Twc per OK frame in order; with all 8
+    # frames tracked the association to the rendered ground truth is
+    # row i <-> frame i. (tools/eval_cli_kitti.py is the bigger,
+    # chip-run version of this gate — artifact CLI_KITTI_EVAL.json.)
+    from c_orb_slam_tpu.io import trajectory as traj_io
+
+    rows = np.loadtxt(str(out)).reshape(-1, 3, 4)
+    assert len(rows) == 8, f"tracked only {len(rows)}/8 frames"
+    poses_cw = np.stack([
+        np.concatenate(
+            [T[:, :3].T, (-T[:, :3].T @ T[:, 3])[:, None]], axis=1
+        )
+        for T in rows
+    ])
+    gt = smooth_trajectory(10)[:8]
+    ate = traj_io.ate_rmse(poses_cw, gt, with_scale=False)
+    assert ate < 0.06, f"CLI trajectory ATE {ate:.4f} m"
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q", "-x"])
