@@ -225,9 +225,24 @@ def _write_results(recs):
         )
     lines += [
         "",
-        "The loop-closure capability is benchmarked separately: "
-        "tests/test_e2e_loop.py (240-frame outward orbit, ATE before/after "
-        "loop correction) and the default-suite loop test.",
+        "Throughput over the remote-attached chip varies with tunnel "
+        "session quality (same code measured 15-42 fps at mono_tum30 "
+        "across sessions); use tools/bench_ab.py for paired same-session "
+        "comparisons of code changes (artifact: AB_BENCH.json).",
+        "",
+        "Loop closure is benchmarked separately on the 240-frame outward "
+        "stereo orbit (tests/e2e_loop_debug.py; the default suite runs it "
+        "on the 8-device CPU mesh through the SHARDED solvers). Measured "
+        "on the chip 2026-08-21 with the staged background correction: "
+        "240/240 frames tracked, loop closed, essential graph + global BA "
+        "applied in background chunks, ATE 0.039-0.083 m (no-loop "
+        "counterfactual ~0.76 m); the correction frame itself costs "
+        "~0.75 s warm (propagate + one fuse dispatch) vs 8.2 s when the "
+        "whole correction ran inline (round 4).",
+        "",
+        "The CLI product surface has its own accuracy artifact: "
+        "CLI_KITTI_EVAL.json (tools/eval_cli_kitti.py drives "
+        "examples/stereo_kitti.py on a generated KITTI-format tree).",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

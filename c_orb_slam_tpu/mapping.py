@@ -855,15 +855,38 @@ class LocalMapping:
             obs_stereo=up[8], obs_inv_sigma2=up[9], obs_valid=up[10],
             K=self.K, bf=up[11],
         )
-        result = ba.bundle_adjust(
-            problem,
-            iters_first=self.cfg.optimizer.local_ba_its_first,
-            iters_second=self.cfg.optimizer.local_ba_its_second,
-            chi2_mono=self.cfg.optimizer.chi2_mono,
-            chi2_stereo=self.cfg.optimizer.chi2_stereo,
-            pcg_iters=self.cfg.optimizer.pcg_iters,
-            schur="dense",  # local window: direct MXU Schur solve
-        )
+        if not small and len(jax.devices()) > 1:
+            # Full-bucket window on a multi-device mesh: shard the
+            # observation axis (parallel/dba — GSPMD partitions the
+            # per-obs work, psum reduces the small camera system over
+            # ICI). Small buckets stay single-device: sharding a tiny
+            # problem costs more in collectives than it saves.
+            from c_orb_slam_tpu.parallel import dba as dba_mod
+
+            mesh = dba_mod.make_mesh(jax.devices())
+            result = dba_mod.distributed_bundle_adjust(
+                dba_mod.pad_observations(problem, len(jax.devices())),
+                mesh,
+                iters_first=self.cfg.optimizer.local_ba_its_first,
+                iters_second=self.cfg.optimizer.local_ba_its_second,
+                chi2_mono=self.cfg.optimizer.chi2_mono,
+                chi2_stereo=self.cfg.optimizer.chi2_stereo,
+                pcg_iters=self.cfg.optimizer.pcg_iters,
+                schur="dense",
+            )
+            # Slice the obs padding back off so apply-side indexing is
+            # unchanged (padding is appended).
+            result = result._replace(obs_inlier=result.obs_inlier[:O])
+        else:
+            result = ba.bundle_adjust(
+                problem,
+                iters_first=self.cfg.optimizer.local_ba_its_first,
+                iters_second=self.cfg.optimizer.local_ba_its_second,
+                chi2_mono=self.cfg.optimizer.chi2_mono,
+                chi2_stereo=self.cfg.optimizer.chi2_stereo,
+                pcg_iters=self.cfg.optimizer.pcg_iters,
+                schur="dense",  # local window: direct MXU Schur solve
+            )
         fut = fetch_async(result.cam_T, result.points, result.obs_inlier)
         self._pending_ba = (
             cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,

@@ -66,12 +66,20 @@ def distributed_bundle_adjust(
     iters_first: int = 5,
     iters_second: int = 10,
     pcg_iters: int = 40,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+    schur: str = "pcg",
 ) -> ba.BAResult:
     """Two-stage BA with observations sharded across the mesh.
 
     The solver body is the SAME code as single-chip optim/ba.py — the
     sharding annotations on the inputs make GSPMD partition every
     per-observation op and all-reduce the segment-sums over ICI.
+    This is the LOCAL-BA scale-out twin of parallel/sharded_ba (which
+    shards the map itself for the global solve): a local window has few
+    cameras but a dense observation set, so the observation axis is the
+    one worth splitting — LocalMapping dispatches through here for
+    full-bucket windows at >1 device (mapping.py _ba_dispatch).
     """
     p_sharded = shard_problem(p, mesh, axis)
     out_rep = NamedSharding(mesh, P())
@@ -81,6 +89,9 @@ def distributed_bundle_adjust(
             iters_first=iters_first,
             iters_second=iters_second,
             pcg_iters=pcg_iters,
+            chi2_mono=chi2_mono,
+            chi2_stereo=chi2_stereo,
+            schur=schur,
         ),
         out_shardings=ba.BAResult(
             cam_T=out_rep,

@@ -154,3 +154,23 @@ def test_two_process_distributed_ba(tmp_path):
     np.testing.assert_allclose(
         cam_T, np.asarray(single.cam_T)[:4], atol=1e-2
     )
+
+
+def test_dba_dense_schur_matches_single():
+    """The observation-sharded local-BA path LocalMapping dispatches at
+    >1 device (mapping.py _ba_dispatch: full-bucket windows, dense
+    Schur) must agree with the single-device solve."""
+    import multihost_runner
+
+    p = multihost_runner.build_problem()
+    mesh = dba.make_mesh(jax.devices()[:8])
+    dist = dba.distributed_bundle_adjust(
+        dba.pad_observations(p, 8), mesh,
+        iters_first=5, iters_second=5, pcg_iters=30, schur="dense",
+    )
+    single = ba.bundle_adjust(
+        p, iters_first=5, iters_second=5, pcg_iters=30, schur="dense"
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist.cam_T), np.asarray(single.cam_T), atol=5e-4
+    )

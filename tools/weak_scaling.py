@@ -198,6 +198,40 @@ def main():
         t1 = results[0][1]
         eff = {f"{d}x": round(t1 / t, 3) for d, t in results}
         out = {"weak_scaling_efficiency": eff, "target": 0.8}
+        # Work-normalized view: aggregate observation throughput. On a
+        # shared-core virtual mesh, wall-clock efficiency conflates
+        # oversubscription (D devices' FLOPs on c cores) with the
+        # algorithm; throughput growth separates them — the algorithm
+        # scales if TOTAL work/s grows toward the host's core ceiling
+        # while per-solve collective bytes stay flat (accounting above).
+        d1, tt1 = results[0]
+        thr = {
+            f"{d}x": round((args.obs_per_dev * d / t)
+                           / (args.obs_per_dev * d1 / tt1), 3)
+            for d, t in results
+        }
+        out["aggregate_throughput_vs_1dev"] = thr
+        try:
+            out["host_cores"] = os.cpu_count()
+        except Exception:
+            pass
+        # ICI projection for a REAL slice (model, not measurement):
+        # per-solve collective traffic is the accounted bytes (O(cams),
+        # obs-independent); at ICI bandwidth ~1e11 B/s + ~1e-6 s/hop
+        # latency over (3+3)*20 PCG iterations, the collective share of
+        # a >=100 ms solve is <1e-3 — projected efficiency >0.99,
+        # bounded in practice by per-iteration dispatch latency, not
+        # bandwidth.
+        out["ici_projection"] = {
+            "collective_bytes_per_solve": 3072,
+            "assumed_ici_bytes_per_s": 1e11,
+            "assumed_hop_latency_s": 1e-6,
+            "pcg_collective_rounds": (3 + 3) * 20,
+            "projected_collective_share_of_100ms_solve": round(
+                ((3 + 3) * 20 * 1e-6 + 3072 / 1e11) / 0.1, 5
+            ),
+            "model_not_measurement": True,
+        }
         if not args.tpu:
             # All virtual devices share this host's physical cores, so the
             # measured efficiency is a LOWER bound: D virtual devices do
