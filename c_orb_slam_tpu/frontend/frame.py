@@ -146,8 +146,15 @@ def build_stereo(
     per-keypoint sliding-SAD parabola refinement (:552-618) and the
     median-SAD outlier trim (:626-639) run batched over all matches.
     """
-    kl = extract.extract_orb(left, cfg.orb, cfg.vocabulary.seed)
-    kr = extract.extract_orb(right, cfg.orb, cfg.vocabulary.seed)
+    # Both extractions as ONE batch-2 vmapped program: the per-level
+    # pyramid/FAST/BRIEF kernels run once with a leading batch axis
+    # instead of twice back-to-back (the reference uses two threads,
+    # Frame.cc:78-81; the TPU equivalent is batching, not threading).
+    kb = jax.vmap(
+        lambda im: extract.extract_orb(im, cfg.orb, cfg.vocabulary.seed)
+    )(jnp.stack([left, right]))
+    kl = jax.tree.map(lambda x: x[0], kb)
+    kr = jax.tree.map(lambda x: x[1], kb)
     K = camera.intrinsics_array(cfg.camera)
     dist = camera.distortion_array(cfg.camera)
     # Rectified stereo: keypoints used as-is (reference skips undistortion
