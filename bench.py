@@ -67,6 +67,10 @@ def _run_config(name, sensor, cam_kwargs, orb_kwargs, n_frames, warmup,
             frames.append(_u8(render_scene(xw, inten, size, traj[i], K4, **wh)))
 
     sysm = System(cfg)
+    # Pre-compile the program set (both local-BA buckets) so no first
+    # call lands inside the timed region — the bench measures steady
+    # state, and a real deployment warms up once at startup.
+    sysm.warmup()
 
     def track(i):
         if stereo:

@@ -303,6 +303,49 @@ class LocalMapping:
         self.paused = False
 
     # ------------------------------------------------------------------
+    def warm_programs(self):
+        """Pre-compile (or pre-load from the persistent cache) the local
+        BA programs for BOTH size buckets used by _ba_dispatch. The
+        small->full bucket transition otherwise lands a ~1 s first-call
+        cost on an arbitrary mid-sequence frame (measured on chip: 0.96 s
+        small + 1.2 s full, then 0.1 ms per call). The reference pays its
+        startup cost loading ORBvoc.txt (System.cc:64); pre-compiling at
+        init is the TPU-native analog."""
+        cap = self.cfg.capacity
+        outs = []
+        for C, P, O in (
+            (16, 2048, 4096),
+            (cap.local_ba_max_kfs * 2, cap.local_ba_max_points,
+             cap.local_ba_max_obs),
+        ):
+            prob = ba.BAProblem(
+                cam_T=jnp.tile(jnp.eye(3, 4, dtype=jnp.float32), (C, 1, 1)),
+                cam_fixed=jnp.zeros(C, bool).at[0].set(True),
+                cam_valid=jnp.zeros(C, bool).at[:2].set(True),
+                points=jnp.tile(
+                    jnp.asarray([0.0, 0.0, 5.0], jnp.float32), (P, 1)
+                ),
+                point_valid=jnp.zeros(P, bool).at[:4].set(True),
+                obs_cam=jnp.zeros(O, jnp.int32),
+                obs_pt=jnp.zeros(O, jnp.int32),
+                obs_uv=jnp.zeros((O, 3), jnp.float32),
+                obs_stereo=jnp.zeros(O, bool),
+                obs_inv_sigma2=jnp.ones(O, jnp.float32),
+                obs_valid=jnp.zeros(O, bool).at[:8].set(True),
+                K=self.K,
+                bf=jnp.asarray(np.float32(self.cfg.camera.bf)),
+            )
+            outs.append(ba.bundle_adjust(
+                prob,
+                iters_first=self.cfg.optimizer.local_ba_its_first,
+                iters_second=self.cfg.optimizer.local_ba_its_second,
+                chi2_mono=self.cfg.optimizer.chi2_mono,
+                chi2_stereo=self.cfg.optimizer.chi2_stereo,
+                pcg_iters=self.cfg.optimizer.pcg_iters,
+                schur="dense",
+            ).cam_T)
+        jax.block_until_ready(outs)
+
     def insert_keyframe(self, kf: int):
         """Enqueue a keyframe for mapping (reference:
         LocalMapping::InsertKeyFrame, LocalMapping.cc:114-119)."""

@@ -272,6 +272,15 @@ class System:
             ):
                 break
 
+    def warmup(self):
+        """Pre-compile the per-process device-program set whose first
+        call would otherwise land mid-sequence (currently: both local-BA
+        size buckets — ~1 s each on the chip). Optional; call once after
+        construction when steady-state latency matters from frame one
+        (the reference pays an analogous startup cost parsing ORBvoc.txt,
+        System.cc:64)."""
+        self.local_mapping.warm_programs()
+
     def map_changed(self) -> bool:
         """Reference: System::MapChanged (System.cc:282-293)."""
         idx = self.map.big_change_idx
