@@ -406,11 +406,14 @@ def _full_track_step(
 
 
 @functools.partial(jax.jit, static_argnames=("frac",))
+@functools.partial(jax.jit, static_argnames=("frac",))
 def _chain_predict(T_prev: jnp.ndarray, T_prev2: jnp.ndarray, frac: float):
     """Constant-velocity prediction from the two most recent DEVICE poses
     of the chained tracking recursion — no host round trip. frac scales
     the rotation part like the host path (TrackingConfig
-    .velocity_rotation_fraction; 0 = translation-only prediction)."""
+    .velocity_rotation_fraction; 0 = translation-only prediction).
+    Jitted: the eager version dispatched ~10 tiny device ops per frame —
+    each a round trip on a remote-attached chip."""
     from c_orb_slam_tpu.geometry import so3
 
     vel = se3.compose(T_prev, se3.inverse(T_prev2))
@@ -1084,7 +1087,7 @@ class Tracking:
             last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = jax.device_put(
                 (self.last_mp.astype(np.int32), pts_pad, vo_xyz, vo_valid)
             )
-            T_pred_d = _chain_predict(self._chain[0], self._chain[1], frac)
+            T_pred_d = _chain_predict(self._chain[0], self._chain[1], frac=frac)
             prev_pose_d = self._chain[0]
         else:
             T_pred_d, prev_pose_d, last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = (
@@ -1135,18 +1138,17 @@ class Tracking:
         # Start the readback on a background worker now: the blocking
         # device_get waits out the tunnel latency concurrently with the
         # host's mapping stages / next frame build, so apply's .result()
-        # is (usually) an already-landed local value.
-        fut = fetch_async(*out)
-        # Frame descriptors ride their own background fetch: the apply
-        # needs them on host for the per-frame point-descriptor refresh.
-        desc_fut = fetch_async(f.desc)
+        # is (usually) an already-landed local value. The frame
+        # descriptors (for the per-frame point-descriptor refresh) ride
+        # the SAME transfer — a second worker fetch cost a second d2h
+        # round trip per frame.
+        fut = fetch_async(*out, f.desc)
         t0 = self._mark("prefetch", t0)
         # Record the last_mp snapshot: apply must translate match rows
         # through the SAME index view the dispatch used, even if the map
         # mutates in between. head/tail args are kept so a failed apply
         # can retry synchronously with a wide window.
-        return (fut, pts_pad, safe, self.last_mp, (head_args, tail_args),
-                desc_fut)
+        return (fut, pts_pad, safe, self.last_mp, (head_args, tail_args))
 
     def _fused_apply(self, f: frame_mod.FrameData, disp):
         """Steady-state hot path, apply half: one (prefetched) readback +
@@ -1155,12 +1157,12 @@ class Tracking:
         re-runs the step with a 3x stage-1 window (the reference's widened
         second search pass, Tracking.cc:888-892) before the caller falls
         through to the reference-keyframe / relocalization chain."""
-        fut, pts_pad, safe, last_mp, (head_args, tail_args), desc_fut = disp
+        fut, pts_pad, safe, last_mp, (head_args, tail_args) = disp
         t0 = time.perf_counter()
-        fetched = fut.result()
+        *fetched, f_desc = fut.result()
         t0 = self._mark("fetch", t0)
         ok, pose, mp = self._fused_postprocess(
-            f, fetched, pts_pad, safe, last_mp, desc_fut
+            f, fetched, pts_pad, safe, last_mp, f_desc
         )
         if ok:
             return ok, pose, mp
@@ -1174,10 +1176,11 @@ class Tracking:
             radius_mult=3.0,
         )
         return self._fused_postprocess(
-            f, fetch(*wide), pts_pad, safe, last_mp, desc_fut
+            f, fetch(*wide), pts_pad, safe, last_mp, f_desc
         )
 
-    def _fused_postprocess(self, f, fetched, pts_pad, safe, last_mp, desc_fut=None):
+    def _fused_postprocess(self, f, fetched, pts_pad, safe, last_mp,
+                           f_desc=None):
         (
             mm_ok, m1_idx, good_q,
             in_view, m2_idx, m2_valid,
@@ -1240,7 +1243,9 @@ class Tracking:
         # were prefetched at build; the fetch here is a landed copy.
         feat_sel = np.nonzero(new_mp >= 0)[0]
         if len(feat_sel) and not self.only_tracking:
-            f_desc = desc_fut.result() if desc_fut is not None else fetch(f.desc)
+            if f_desc is None:
+                f_desc = fetch(f.desc)
+            f_desc = np.asarray(f_desc)
             pt_sel = new_mp[feat_sel]
             self.map.pt_desc[pt_sel] = f_desc[feat_sel]
             self.map.mark_points_dirty(pt_sel)
