@@ -218,6 +218,35 @@ class _CorrectionJob:
         self.fetch_fut = None
 
 
+class _Sim3Job:
+    """In-flight staged ComputeSim3 (reference: LoopClosing::ComputeSim3,
+    LoopClosing.cc:231-400, which runs on the loop THREAD — tracking
+    never waits for it). Round-4/5-early versions ran the whole chain
+    (BoW match -> Sim3 RANSAC -> SearchBySim3 widening -> GN polish ->
+    projection acceptance) inline on the detection frame: ~6 s measured
+    warm on chip (device readbacks + per-process program tracing all
+    landing on one frame). Staged, each stage dispatches one device
+    program and applies its readback on a later frame."""
+
+    STAGES = ("bow", "ransac_widen", "gn_count")
+
+    def __init__(self, kf, candidates, kf_serial, cand_serials):
+        self.kf = kf
+        self.cands = list(candidates)
+        self.kf_serial = kf_serial
+        self.cand_serials = list(cand_serials)
+        self.ci = 0  # current candidate
+        self.stage = "bow"
+        self.fut = None  # in-flight readback for the current stage
+        self.ctx = {}  # per-candidate intermediates
+
+    def next_candidate(self):
+        self.ci += 1
+        self.stage = "bow"
+        self.fut = None
+        self.ctx = {}
+
+
 class _GbaJob:
     """In-flight snapshot-epoch global BA (see LoopClosing._start_gba).
 
@@ -367,6 +396,9 @@ class LoopClosing:
         # GBA arming), advanced one chunk per tracked frame.
         self.correction_job: Optional[_CorrectionJob] = None
         self.n_corrections_applied = 0
+        # In-flight staged Sim3 computation (bow -> ransac -> widen ->
+        # gn -> count), one stage readback per tracked frame.
+        self.sim3_job: Optional[_Sim3Job] = None
         # Wired by System: the LocalMapping stage, paused for the
         # correction window (reference: RequestStop/Release,
         # LoopClosing.cc:408,582).
@@ -477,6 +509,14 @@ class LoopClosing:
             return False
         if kf in self._pending:
             self._pending.remove(kf)
+        if self.sim3_job is not None or self.correction_job is not None:
+            # The loop pipeline is busy on an earlier event (the
+            # reference's loop thread would likewise still be inside
+            # ComputeSim3/CorrectLoop and this keyframe would wait in its
+            # queue): index the keyframe for future place recognition and
+            # skip its detection.
+            self._index_keyframe(kf)
+            return False
         # Force-apply any previous detection first: _dispatch overwrites
         # the pending slot.
         closed = self.step(force=True)
@@ -491,10 +531,9 @@ class LoopClosing:
         pd = self._pending_detect
         if pd is None:
             return False
-        if self.correction_job is not None:
-            # A correction is mid-flight: hold the pending detection (no
-            # new keyframes can arrive — the mapper is paused — and the
-            # dead-time gate re-checks at apply).
+        if self.sim3_job is not None or self.correction_job is not None:
+            # An earlier loop event is mid-flight: hold the pending
+            # detection (the dead-time gate re-checks at apply).
             return False
         if self._defer_detect and not force and not pd[-1].done():
             w_ = getattr(self, "_step_waits", 0)
@@ -513,17 +552,16 @@ class LoopClosing:
         candidates = self._detect_from(kf, connected, score, n_shared)
         if not candidates:
             return False
-        found = self._compute_sim3(kf, candidates)
-        if found is None:
-            return False
-        loop_kf, S_cl, matched_pts = found
-        _dbg(f"loop accepted: kf {kf} <-> {loop_kf}")
-        self._correct_loop(kf, loop_kf, S_cl, matched_pts)
-        self.last_loop_kf = kf
-        self.last_loop_serial = int(self.map.kf_serial[kf])
-        self.n_loops_closed += 1
-        self.map.big_change_idx += 1
-        return True
+        # Stage the Sim3 computation: the reference runs ComputeSim3 on
+        # its loop thread (tracking never waits); here the chain advances
+        # one readback per tracked frame via advance_background. The
+        # first stage is dispatched now; accept (frames later) runs
+        # _correct_loop.
+        self.sim3_job = _Sim3Job(
+            kf, candidates, int(self.map.kf_serial[kf]),
+            [int(self.map.kf_serial[c]) for c in candidates],
+        )
+        return self._advance_sim3(force=False)
 
     def advance_background(self):
         """Advance the in-flight background work by exactly ONE chunk:
@@ -534,26 +572,37 @@ class LoopClosing:
         whole solve inside one frame)."""
         if self.correction_job is not None:
             return self._advance_correction()
-        return self._advance_gba()
+        closed = False
+        if self.sim3_job is not None:
+            closed = self._advance_sim3()
+        # A GBA from a previous loop may still be in flight while a new
+        # detection computes its Sim3 — both advance one chunk.
+        self._advance_gba()
+        return closed
 
     def idle(self) -> bool:
         """No in-flight background work (System's shutdown drain loop)."""
         return (
-            self.correction_job is None
+            self.sim3_job is None
+            and self.correction_job is None
             and self.gba_job is None
             and self._pending_detect is None
         )
 
     def drain(self):
-        # Finish the staged correction first (it arms the GBA), then any
-        # pending detection (which may arm a NEW correction), then the
-        # global BA — save_map, shutdown and trajectory export need the
-        # settled map.
-        while self.correction_job is not None:
-            self._advance_correction(force=True)
-        closed = self.step(force=True)
-        while self.correction_job is not None:
-            self._advance_correction(force=True)
+        # Finish the staged Sim3 compute (it may arm a correction), then
+        # the correction (it arms the GBA), then any pending detection
+        # (which may arm a NEW Sim3 job), then the global BA — save_map,
+        # shutdown and trajectory export need the settled map.
+        closed = False
+        for _ in range(4):
+            while self.sim3_job is not None:
+                closed = self._advance_sim3(force=True) or closed
+            while self.correction_job is not None:
+                self._advance_correction(force=True)
+            closed = self.step(force=True) or closed
+            if self.sim3_job is None and self.correction_job is None:
+                break
         while self.gba_job is not None:
             self._advance_gba(force=True)
         return closed
@@ -632,43 +681,94 @@ class LoopClosing:
         return enough
 
     # ------------------------------------------------------------------
-    def _match_by_bow(self, kf1: int, kf2: int):
-        """Descriptor match between two keyframes' map-point features,
-        gated by vocabulary-node agreement (reference: SearchByBoW(KF,KF)
-        ORBmatcher.cc:522-655 iterates node-aligned FeatureVectors)."""
-        mp1 = self.map.kf_mp[kf1]
-        mp2 = self.map.kf_mp[kf2]
-        ok1 = (mp1 >= 0) & self.map.kf_kp_valid[kf1]
-        ok2 = (mp2 >= 0) & self.map.kf_kp_valid[kf2]
-        n1 = self.kf_node_dev[kf1]
-        n2 = self.kf_node_dev[kf2]
-        node_gate = n1[:, None] == n2[None, :]
+    # Staged ComputeSim3 (reference: LoopClosing::ComputeSim3 :231-400,
+    # on the loop thread). Each advance applies ONE landed readback and
+    # dispatches the next stage's device program:
+    #   bow -> ransac -> widen -> gn -> count -> accept(_correct_loop).
+
+    def _advance_sim3(self, force: bool = False) -> bool:
+        """Advance the in-flight Sim3 computation by one stage readback
+        (force completes it inline — drain only). Returns True when a
+        loop was accepted and the correction armed this call."""
+        job = self.sim3_job
+        if job is None:
+            return False
+        mp = self.map
+        while True:
+            if job.ci >= len(job.cands):
+                self.sim3_job = None
+                return False
+            cand = job.cands[job.ci]
+            # Stale guard: keyframes may be culled/recycled while the
+            # staged compute runs — mapping continues during detection
+            # (the reference instead pins candidates with SetNotErase,
+            # LoopClosing.cc:257).
+            if not (
+                mp.kf_valid[job.kf]
+                and mp.kf_serial[job.kf] == job.kf_serial
+                and mp.kf_valid[cand]
+                and mp.kf_serial[cand] == job.cand_serials[job.ci]
+            ):
+                job.next_candidate()
+                continue
+            if job.fut is None:
+                self._sim3_dispatch_bow(job)
+                if not force:
+                    return False
+                continue
+            if not (force or job.fut.done()):
+                return False
+            accepted = self._sim3_apply_stage(job)
+            if accepted:
+                return True
+            if not force:
+                return False
+            if self.sim3_job is None:
+                return False
+
+    def _sim3_dispatch_bow(self, job: "_Sim3Job"):
+        """Descriptor match between the two keyframes' map-point
+        features, gated by vocabulary-node agreement (reference:
+        SearchByBoW(KF,KF) ORBmatcher.cc:522-655)."""
+        kf, cand = job.kf, job.cands[job.ci]
+        mp = self.map
+        ok1 = (mp.kf_mp[kf] >= 0) & mp.kf_kp_valid[kf]
+        ok2 = (mp.kf_mp[cand] >= 0) & mp.kf_kp_valid[cand]
+        node_gate = (
+            self.kf_node_dev[kf][:, None] == self.kf_node_dev[cand][None, :]
+        )
         m = match.match(
-            jnp.asarray(self.map.kf_desc[kf1]),
-            jnp.asarray(self.map.kf_desc[kf2]),
+            jnp.asarray(mp.kf_desc[kf]),
+            jnp.asarray(mp.kf_desc[cand]),
             jnp.asarray(ok1), jnp.asarray(ok2),
             pair_mask=node_gate,
             max_dist=self.cfg.matcher.th_low,
             nn_ratio=0.75,
         )
-        keep = np.asarray(
-            match.rotation_consistency(
-                jnp.asarray(self.map.kf_angle[kf1]),
-                jnp.asarray(self.map.kf_angle[kf2])[m.idx],
-                m.valid,
-            )
+        keep = match.rotation_consistency(
+            jnp.asarray(mp.kf_angle[kf]),
+            jnp.asarray(mp.kf_angle[cand])[m.idx],
+            m.valid,
         )
-        return np.asarray(m.idx), keep
+        job.fut = fetch_async(m.idx, keep)
+        job.stage = "bow"
 
-    def _compute_sim3(self, kf: int, candidates: list[int]):
-        """Reference: LoopClosing::ComputeSim3 (:231-400)."""
-        for cand in candidates:
-            idx2, keep = self._match_by_bow(kf, cand)
+    def _sim3_apply_stage(self, job: "_Sim3Job") -> bool:
+        """Apply the landed readback of the current stage and dispatch
+        the next one. Returns True on final acceptance."""
+        kf, cand = job.kf, job.cands[job.ci]
+        mp = self.map
+        res = job.fut.result()
+        job.fut = None
+
+        if job.stage == "bow":
+            idx2, keep = np.asarray(res[0]), np.asarray(res[1])
             n = int(keep.sum())
             if n < self.cfg.loop.min_bow_matches:
-                _dbg(f"cand {cand}: bow={n} < {self.cfg.loop.min_bow_matches}, reject")
-                continue
-
+                _dbg(f"cand {cand}: bow={n} < "
+                     f"{self.cfg.loop.min_bow_matches}, reject")
+                job.next_candidate()
+                return False
             # Paired 3D points in each camera frame, padded to a pow2
             # bucket (per-event match counts otherwise compile a fresh
             # RANSAC + Sim3-GN program per loop event).
@@ -681,21 +781,21 @@ class LoopClosing:
             f2_p[:M] = idx2[feats1]
             mask = np.zeros(MP, bool)
             mask[:M] = True
-            p1_ids = self.map.kf_mp[kf, f1_p]
-            p2_ids = self.map.kf_mp[cand, f2_p]
-            p1_ids, p2_ids = np.maximum(p1_ids, 0), np.maximum(p2_ids, 0)
-            T1 = jnp.asarray(self.map.kf_pose[kf])
-            T2 = jnp.asarray(self.map.kf_pose[cand])
-            x1 = np.asarray(se3.apply(T1, jnp.asarray(self.map.pt_xyz[p1_ids])))
-            x2 = np.asarray(se3.apply(T2, jnp.asarray(self.map.pt_xyz[p2_ids])))
-            uv1 = self.map.kf_xy[kf, f1_p]
-            uv2 = self.map.kf_xy[cand, f2_p]
+            p1_ids = np.maximum(mp.kf_mp[kf, f1_p], 0)
+            p2_ids = np.maximum(mp.kf_mp[cand, f2_p], 0)
+            x1 = se3.apply(
+                jnp.asarray(mp.kf_pose[kf]), jnp.asarray(mp.pt_xyz[p1_ids])
+            )
+            x2 = se3.apply(
+                jnp.asarray(mp.kf_pose[cand]), jnp.asarray(mp.pt_xyz[p2_ids])
+            )
+            uv1 = mp.kf_xy[kf, f1_p]
+            uv2 = mp.kf_xy[cand, f2_p]
             # Per-match chi2 gates 9.21*sigma2(octave) (Sim3Solver.cc:106).
-            s1 = 9.21 * self.sigma2[self.map.kf_octave[kf, f1_p]]
-            s2 = 9.21 * self.sigma2[self.map.kf_octave[cand, f2_p]]
-
-            res = sim3solve.solve_sim3_ransac(
-                jnp.asarray(x1), jnp.asarray(x2),
+            s1 = 9.21 * self.sigma2[mp.kf_octave[kf, f1_p]]
+            s2 = 9.21 * self.sigma2[mp.kf_octave[cand, f2_p]]
+            rr = sim3solve.solve_sim3_ransac(
+                x1, x2,
                 jnp.asarray(uv1), jnp.asarray(uv2),
                 jnp.asarray(mask),
                 jnp.asarray(s1), jnp.asarray(s2),
@@ -704,73 +804,120 @@ class LoopClosing:
                 n_hypotheses=self.cfg.loop.sim3_ransac_iters,
                 min_inliers=self.cfg.loop.min_sim3_inliers,
             )
-            if not bool(res.ok):
-                continue
+            # SearchBySim3 widening (reference: LoopClosing.cc:323-326)
+            # dispatched in the SAME round trip: the widen program takes
+            # rr.S12 device-side (garbage if RANSAC failed — discarded at
+            # apply). Each avoided readback is one frame of loop-closure
+            # latency.
+            widen_out = self._dispatch_widen(kf, cand, rr.S12)
+            job.ctx.update(n_bow=n, f1_p=f1_p, f2_p=f2_p, mask=mask)
+            job.fut = fetch_async(
+                rr.ok, rr.n_inliers, rr.S12, rr.inliers, *widen_out
+            )
+            job.stage = "ransac_widen"
+            return False
 
-            # SearchBySim3 widening (reference: LoopClosing.cc:323-326):
-            # grow the RANSAC-inlier match set with bidirectional
+        if job.stage == "ransac_widen":
+            ok, n_in, S12, inliers = res[:4]
+            if not bool(ok):
+                _dbg(f"cand {cand}: ransac failed, reject")
+                job.next_candidate()
+                return False
+            # Widen: grow the RANSAC-inlier match set with bidirectional
             # Sim3-guided projection agreements BEFORE the GN polish —
             # BoW matches alone are biased toward shared-word features
             # and starve the polish on weak-overlap real imagery.
-            inl = np.asarray(res.inliers) & mask
-            u1, u2 = self._widen_sim3_matches(
-                kf, cand, res.S12, f1_p[inl], f2_p[inl]
+            inl = np.asarray(inliers) & job.ctx["mask"]
+            u1, u2 = self._widen_union(
+                kf, cand,
+                job.ctx["f1_p"][inl], job.ctx["f2_p"][inl],
+                *(np.asarray(r) for r in res[4:]),
             )
-            (xu1, xu2, uvu1, uvu2, wu1, wu2, umask) = self._sim3_pair_arrays(
+            xu1, xu2, uvu1, uvu2, wu1, wu2, umask = self._sim3_pair_arrays(
                 kf, cand, u1, u2
             )
             opt = sim3_opt.optimize_sim3(
-                res.S12,
+                jnp.asarray(S12),
                 xu1, xu2, uvu1, uvu2, wu1, wu2, umask,
                 self.K, self.K,
                 fix_scale=self.fix_scale,
             )
-            if int(opt.n_inliers) < self.cfg.loop.min_sim3_inliers:
-                continue
+            # Projection acceptance rides the same round trip, consuming
+            # the polished opt.S12 device-side (reference :335-391,
+            # accept at >= min_total_matches).
+            loop_pts = self._loop_neighborhood_points(cand)
+            if len(loop_pts) == 0:
+                job.next_candidate()
+                return False
+            m, _pts_p = self._project_match(kf, loop_pts, opt.S12, cand)
+            job.ctx.update(n_ransac=int(n_in), loop_pts=loop_pts)
+            job.fut = fetch_async(opt.S12, opt.n_inliers, m.valid)
+            job.stage = "gn_count"
+            return False
 
-            # Projection widening: all points seen by cand + its covisibles,
-            # projected into kf through S12 (reference :335-391).
-            S_cl = opt.S12  # maps cand-camera coords -> current-camera coords
-            total = self._count_total_matches(kf, cand, S_cl)
-            _dbg(
-                f"cand {cand}: bow={n} ransac={int(res.n_inliers)}"
-                f" opt={int(opt.n_inliers)} total={total}"
-            )
-            if total >= self.cfg.loop.min_total_matches:
-                loop_pts = self._loop_neighborhood_points(cand)
-                return cand, S_cl, loop_pts
-        return None
+        # stage == "gn_count"
+        S12_opt, n_inl, valid = res
+        total = int(np.asarray(valid).sum())
+        _dbg(
+            f"cand {cand}: bow={job.ctx['n_bow']} "
+            f"ransac={job.ctx['n_ransac']} opt={int(n_inl)} "
+            f"total={total}"
+        )
+        if int(n_inl) < self.cfg.loop.min_sim3_inliers:
+            _dbg(f"cand {cand}: gn inliers {int(n_inl)}, reject")
+            job.next_candidate()
+            return False
+        if total < self.cfg.loop.min_total_matches:
+            job.next_candidate()
+            return False
+        job.ctx["S_cl"] = np.asarray(S12_opt)
+        _dbg(f"loop accepted: kf {kf} <-> {cand}")
+        self.sim3_job = None
+        self._correct_loop(
+            kf, cand, jnp.asarray(job.ctx["S_cl"]), job.ctx["loop_pts"]
+        )
+        self.last_loop_kf = kf
+        self.last_loop_serial = int(mp.kf_serial[kf])
+        self.n_loops_closed += 1
+        mp.big_change_idx += 1
+        return True
 
-    def _widen_sim3_matches(self, kf: int, cand: int, S12,
-                            base_f1: np.ndarray, base_f2: np.ndarray):
-        """SearchBySim3: bidirectional Sim3-guided projection match with
-        the two-way agreement check (reference: ORBmatcher.cc:1102-1326,
-        used at LoopClosing.cc:323-326). Returns the union of the base
-        (BoW-RANSAC) pairs and fresh agreeing pairs, first-wins per
-        feature on either side."""
+    def _dispatch_widen(self, kf: int, cand: int, S12):
+        """Dispatch the SearchBySim3 bidirectional projection programs
+        over the device mirror (no readback here — the staged Sim3 job
+        fetches asynchronously)."""
         mp = self.map
         mp1 = mp.kf_mp[kf]
         mp2 = mp.kf_mp[cand]
         v1 = (mp1 >= 0) & mp.kf_kp_valid[kf] & mp.pt_valid[np.maximum(mp1, 0)]
         v2 = (mp2 >= 0) & mp.kf_kp_valid[cand] & mp.pt_valid[np.maximum(mp2, 0)]
-        p1 = np.maximum(mp1, 0)
-        p2 = np.maximum(mp2, 0)
         dev = mp.device
         dev.flush()
-        m21_idx, m21_ok, m12_idx, m12_ok = fetch(
-            *_sim3_widen_program(
-                dev.kf_pose, dev.kf_desc, dev.kf_kp_valid, dev.kf_xy,
-                dev.pt_xyz, dev.pt_desc,
-                jnp.asarray(S12), jnp.int32(kf), jnp.int32(cand),
-                jnp.asarray(p1), jnp.asarray(v1),
-                jnp.asarray(p2), jnp.asarray(v2),
-                self.K, max_dist=self.cfg.matcher.th_high,
-            )
+        return _sim3_widen_program(
+            dev.kf_pose, dev.kf_desc, dev.kf_kp_valid, dev.kf_xy,
+            dev.pt_xyz, dev.pt_desc,
+            jnp.asarray(S12), jnp.int32(kf), jnp.int32(cand),
+            jnp.asarray(np.maximum(mp1, 0)), jnp.asarray(v1),
+            jnp.asarray(np.maximum(mp2, 0)), jnp.asarray(v2),
+            self.K, max_dist=self.cfg.matcher.th_high,
         )
-        m21_idx = np.asarray(m21_idx)
-        m21_ok = np.asarray(m21_ok)
-        m12_idx = np.asarray(m12_idx)
-        m12_ok = np.asarray(m12_ok)
+
+    def _widen_sim3_matches(self, kf: int, cand: int, S12,
+                            base_f1: np.ndarray, base_f2: np.ndarray):
+        """Blocking convenience wrapper (unit tests): dispatch + union."""
+        out = fetch(*self._dispatch_widen(kf, cand, S12))
+        return self._widen_union(
+            kf, cand, base_f1, base_f2, *(np.asarray(r) for r in out)
+        )
+
+    def _widen_union(self, kf: int, cand: int, base_f1, base_f2,
+                     m21_idx, m21_ok, m12_idx, m12_ok):
+        """SearchBySim3 host half: two-way agreement check + union with
+        the base (BoW-RANSAC) pairs, first-wins per feature on either
+        side (reference: ORBmatcher.cc:1102-1326, agreement :1307-1323,
+        used at LoopClosing.cc:323-326)."""
+        mp1 = self.map.kf_mp[kf]
+        mp2 = self.map.kf_mp[cand]
         # Two-way agreement (reference :1307-1323).
         f2_all = np.nonzero(m21_ok)[0]
         f1_of = m21_idx[f2_all]
@@ -834,16 +981,6 @@ class LoopClosing:
         mask = np.zeros(cap, bool)
         mask[: len(pts)] = True
         return out, mask
-
-    def _count_total_matches(self, kf: int, cand: int, S_cl) -> int:
-        """Project the loop neighborhood into the current KF and count
-        guided matches (reference: SearchByProjection(KF, Scw, ...)
-        ORBmatcher.cc:290-403 via LoopClosing.cc:375-391)."""
-        pts = self._loop_neighborhood_points(cand)
-        if len(pts) == 0:
-            return 0
-        m, pts = self._project_match(kf, pts, S_cl, cand)
-        return int(np.asarray(m.valid).sum())
 
     def _project_match(self, kf: int, pts: np.ndarray, S_cl, cand: int):
         """Match loop points (world coords) into keyframe kf through the
