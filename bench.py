@@ -237,12 +237,15 @@ def _write_results(recs):
         "Loop closure is benchmarked separately on the 240-frame outward "
         "stereo orbit (tests/e2e_loop_debug.py; the default suite runs it "
         "on the 8-device CPU mesh through the SHARDED solvers). Measured "
-        "on the chip 2026-08-21 with the staged background correction: "
-        "240/240 frames tracked, loop closed, essential graph + global BA "
-        "applied in background chunks, ATE 0.039-0.083 m (no-loop "
-        "counterfactual ~0.76 m); the correction frame itself costs "
-        "~0.75 s warm (propagate + one fuse dispatch) vs 8.2 s when the "
-        "whole correction ran inline (round 4).",
+        "on the chip 2026-08-21 with the FULLY staged loop pipeline "
+        "(Sim3 computation, fusion, essential graph and global BA all "
+        "advance one chunk per tracked frame): 239-240/240 frames "
+        "tracked, loop closed, ATE 0.051-0.123 m (no-loop counterfactual "
+        "~0.76 m), whole run 242 ms/frame warm. The only inline cost "
+        "left is the correction frame's fused Sim3-propagation program "
+        "(~0.7 s warm, the mMutexMapUpdate-equivalent block) — round 4 "
+        "stalled ~8.2 s on the correction frame and another ~7 s on the "
+        "detection frame.",
         "",
         "The CLI product surface has its own accuracy artifact: "
         "CLI_KITTI_EVAL.json (tools/eval_cli_kitti.py drives "
