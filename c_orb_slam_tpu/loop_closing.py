@@ -203,9 +203,9 @@ class _CorrectionJob:
         self.fuse_blocks = []  # dispatched: [(real_gs, pts_p, future)]
         self.fuse_next = 0  # next dispatched block to apply
         self.n_fused = 0
-        self.pts_p = None  # padded loop-point ids (host)
-        self.pts_idx = None  # same, device
-        self.pts_mask = None
+        self.fuse_pts_p = None  # padded loop-point ids (host)
+        self.fuse_pts_idx = None  # same, device
+        self.fuse_pts_mask = None
         # Essential-graph state.
         self.pg_problem = None
         self.verts = None
@@ -542,7 +542,13 @@ class LoopClosing:
                 return False
         self._step_waits = 0
         self._pending_detect = None
-        kf, connected, node, w, wt, fut = pd
+        kf, kf_serial, connected, node, w, wt, fut = pd
+        if not self.map.kf_valid[kf] or self.map.kf_serial[kf] != kf_serial:
+            # The staged Sim3/correction jobs can hold a pending
+            # detection for many frames; the keyframe may have been
+            # culled and its slot recycled meanwhile — indexing the
+            # stale BoW row would overwrite the new occupant's.
+            return False
         # Index AFTER scoring (the query must not match itself; the
         # reference adds to the inverted file after DetectLoop,
         # LoopClosing.cc:85,228).
@@ -615,7 +621,9 @@ class LoopClosing:
         # covisible set is excluded from candidacy at apply time.
         score, n_shared = self.db.scores_dev(w, wt)
         fut = fetch_async(score, n_shared)
-        self._pending_detect = (kf, connected, fb.node, w, wt, fut)
+        self._pending_detect = (
+            kf, int(self.map.kf_serial[kf]), connected, fb.node, w, wt, fut
+        )
 
     # ------------------------------------------------------------------
     def _detect_from(
@@ -781,8 +789,18 @@ class LoopClosing:
             f2_p[:M] = idx2[feats1]
             mask = np.zeros(MP, bool)
             mask[:M] = True
-            p1_ids = np.maximum(mp.kf_mp[kf, f1_p], 0)
-            p2_ids = np.maximum(mp.kf_mp[cand, f2_p], 0)
+            # Mapping ran between the bow dispatch and this apply: a
+            # matched point may have been culled since (kf_mp -1 / dead
+            # slot); the clamp below would silently feed point 0 to the
+            # solvers, so mask those pairs out instead.
+            raw1 = mp.kf_mp[kf, f1_p]
+            raw2 = mp.kf_mp[cand, f2_p]
+            p1_ids = np.maximum(raw1, 0)
+            p2_ids = np.maximum(raw2, 0)
+            mask &= (
+                (raw1 >= 0) & (raw2 >= 0)
+                & mp.pt_valid[p1_ids] & mp.pt_valid[p2_ids]
+            )
             x1 = se3.apply(
                 jnp.asarray(mp.kf_pose[kf]), jnp.asarray(mp.pt_xyz[p1_ids])
             )
@@ -949,8 +967,15 @@ class LoopClosing:
         f1_p[:M], f2_p[:M] = f1, f2
         mask = np.zeros(MP, bool)
         mask[:M] = True
-        p1 = np.maximum(mp.kf_mp[kf, f1_p], 0)
-        p2 = np.maximum(mp.kf_mp[cand, f2_p], 0)
+        raw1 = mp.kf_mp[kf, f1_p]
+        raw2 = mp.kf_mp[cand, f2_p]
+        p1 = np.maximum(raw1, 0)
+        p2 = np.maximum(raw2, 0)
+        # Pairs whose point was culled since the matching stage ran are
+        # masked, not clamped onto point 0.
+        mask &= (
+            (raw1 >= 0) & (raw2 >= 0) & mp.pt_valid[p1] & mp.pt_valid[p2]
+        )
         T1 = jnp.asarray(mp.kf_pose[kf])
         T2 = jnp.asarray(mp.kf_pose[cand])
         x1 = se3.apply(T1, jnp.asarray(mp.pt_xyz[p1]))
@@ -1105,9 +1130,9 @@ class LoopClosing:
         each following frame dispatches the next block while applying a
         landed one (double-buffered)."""
         pts_p, mask = self._pad_pts(job.loop_pts)
-        job.pts_p = pts_p
-        job.pts_idx = jnp.asarray(pts_p)
-        job.pts_mask = jnp.asarray(mask)
+        job.fuse_pts_p = pts_p
+        job.fuse_pts_idx = jnp.asarray(pts_p)
+        job.fuse_pts_mask = jnp.asarray(mask)
         job.fuse_specs = [
             job.group[s: s + _FUSE_BLOCK]
             for s in range(0, len(job.group), _FUSE_BLOCK)
@@ -1125,10 +1150,10 @@ class LoopClosing:
         idx, valid = _fuse_block_program(
             dev.kf_pose, dev.kf_desc, dev.kf_kp_valid, dev.kf_xy,
             dev.pt_xyz, dev.pt_desc, dev.pt_valid,
-            jnp.asarray(gb), job.pts_idx, job.pts_mask,
+            jnp.asarray(gb), job.fuse_pts_idx, job.fuse_pts_mask,
             self.K, max_dist=self.cfg.matcher.th_low,
         )
-        job.fuse_blocks.append((real_gs, job.pts_p, fetch_async(idx, valid)))
+        job.fuse_blocks.append((real_gs, job.fuse_pts_p, fetch_async(idx, valid)))
 
     def _apply_fuse_block(self, real_gs, pts_p, fut):
         """Host mutations for one fused block: replace duplicates / add

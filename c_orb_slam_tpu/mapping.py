@@ -313,10 +313,10 @@ class LocalMapping:
         init is the TPU-native analog."""
         cap = self.cfg.capacity
         outs = []
-        for C, P, O in (
-            (16, 2048, 4096),
-            (cap.local_ba_max_kfs * 2, cap.local_ba_max_points,
-             cap.local_ba_max_obs),
+        for small, (C, P, O) in (
+            (True, (16, 2048, 4096)),
+            (False, (cap.local_ba_max_kfs * 2, cap.local_ba_max_points,
+                     cap.local_ba_max_obs)),
         ):
             prob = ba.BAProblem(
                 cam_T=jnp.tile(jnp.eye(3, 4, dtype=jnp.float32), (C, 1, 1)),
@@ -335,15 +335,10 @@ class LocalMapping:
                 K=self.K,
                 bf=jnp.asarray(np.float32(self.cfg.camera.bf)),
             )
-            outs.append(ba.bundle_adjust(
-                prob,
-                iters_first=self.cfg.optimizer.local_ba_its_first,
-                iters_second=self.cfg.optimizer.local_ba_its_second,
-                chi2_mono=self.cfg.optimizer.chi2_mono,
-                chi2_stereo=self.cfg.optimizer.chi2_stereo,
-                pcg_iters=self.cfg.optimizer.pcg_iters,
-                schur="dense",
-            ).cam_T)
+            # Route through the SAME dispatch point as the live path so
+            # the warmed program is the one that actually runs (at >1
+            # device the full bucket goes through parallel/dba).
+            outs.append(self._solve_local_ba(prob, small, O).cam_T)
         jax.block_until_ready(outs)
 
     def insert_keyframe(self, kf: int):
@@ -898,6 +893,17 @@ class LocalMapping:
             obs_stereo=up[8], obs_inv_sigma2=up[9], obs_valid=up[10],
             K=self.K, bf=up[11],
         )
+        result = self._solve_local_ba(problem, small, O)
+        fut = fetch_async(result.cam_T, result.points, result.obs_inlier)
+        self._pending_ba = (
+            cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
+            fut,
+        )
+
+    def _solve_local_ba(self, problem, small: bool, O: int):
+        """Dispatch the local BA solve — the ONE routing point shared by
+        _ba_dispatch and warm_programs (so warmup compiles exactly the
+        programs the live path runs)."""
         if not small and len(jax.devices()) > 1:
             # Full-bucket window on a multi-device mesh: shard the
             # observation axis (parallel/dba — GSPMD partitions the
@@ -919,21 +925,15 @@ class LocalMapping:
             )
             # Slice the obs padding back off so apply-side indexing is
             # unchanged (padding is appended).
-            result = result._replace(obs_inlier=result.obs_inlier[:O])
-        else:
-            result = ba.bundle_adjust(
-                problem,
-                iters_first=self.cfg.optimizer.local_ba_its_first,
-                iters_second=self.cfg.optimizer.local_ba_its_second,
-                chi2_mono=self.cfg.optimizer.chi2_mono,
-                chi2_stereo=self.cfg.optimizer.chi2_stereo,
-                pcg_iters=self.cfg.optimizer.pcg_iters,
-                schur="dense",  # local window: direct MXU Schur solve
-            )
-        fut = fetch_async(result.cam_T, result.points, result.obs_inlier)
-        self._pending_ba = (
-            cam_slot, cam_fixed, pts, n_obs, obs_pt, obs_valid, kfs_sel,
-            fut,
+            return result._replace(obs_inlier=result.obs_inlier[:O])
+        return ba.bundle_adjust(
+            problem,
+            iters_first=self.cfg.optimizer.local_ba_its_first,
+            iters_second=self.cfg.optimizer.local_ba_its_second,
+            chi2_mono=self.cfg.optimizer.chi2_mono,
+            chi2_stereo=self.cfg.optimizer.chi2_stereo,
+            pcg_iters=self.cfg.optimizer.pcg_iters,
+            schur="dense",  # local window: direct MXU Schur solve
         )
 
     def _ba_apply(self, defer_ok: bool = False):

@@ -184,12 +184,16 @@ class System:
         elif self.loop_closing is not None and (
             self.loop_closing.gba_job is not None
             or self.loop_closing.correction_job is not None
+            or self.loop_closing.sim3_job is not None
         ):
-            # Localization mode stops mapping/loop detection, but a
-            # correction/GBA armed before the switch still advances (it
-            # mutates only the map, not the mapper) — otherwise the job
-            # freezes and queries serve the uncorrected map until
-            # shutdown.
+            # Localization mode stops mapping and NEW loop detection, but
+            # work already in flight at the switch (Sim3 computation,
+            # correction, GBA) still advances — it mutates only the map,
+            # not the mapper (the reference likewise keeps its LoopClosing
+            # thread running in localization mode, System.cc:127-135) —
+            # otherwise the job freezes, queries serve the uncorrected map
+            # until shutdown, and the drain then mutates the 'frozen' map
+            # synchronously.
             with self.metrics.stage("loop_stage"):
                 self.loop_closing.advance_background()
         self.metrics.end_frame(

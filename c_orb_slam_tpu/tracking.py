@@ -406,7 +406,6 @@ def _full_track_step(
 
 
 @functools.partial(jax.jit, static_argnames=("frac",))
-@functools.partial(jax.jit, static_argnames=("frac",))
 def _chain_predict(T_prev: jnp.ndarray, T_prev2: jnp.ndarray, frac: float):
     """Constant-velocity prediction from the two most recent DEVICE poses
     of the chained tracking recursion — no host round trip. frac scales

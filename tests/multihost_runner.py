@@ -12,13 +12,19 @@ Usage: python multihost_runner.py <process_id> <n_processes> \
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+if __name__ == "__main__":
+    # Subprocess mode only: must run before jax initializes. Guarded so
+    # `import multihost_runner` from the test process (for
+    # build_problem) does NOT clobber conftest's 8-device XLA_FLAGS in
+    # os.environ — later-spawned subprocesses inherit it.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import jax.numpy as jnp
