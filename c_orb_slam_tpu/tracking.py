@@ -405,14 +405,19 @@ def _full_track_step(
     ), chain_pose
 
 
-@functools.partial(jax.jit, static_argnames=("frac",))
 def _chain_predict(T_prev: jnp.ndarray, T_prev2: jnp.ndarray, frac: float):
     """Constant-velocity prediction from the two most recent DEVICE poses
     of the chained tracking recursion — no host round trip. frac scales
     the rotation part like the host path (TrackingConfig
     .velocity_rotation_fraction; 0 = translation-only prediction).
-    Jitted: the eager version dispatched ~10 tiny device ops per frame —
-    each a round trip on a remote-attached chip."""
+
+    Deliberately NOT jitted: wrapping it in jax.jit measurably
+    destabilized on-chip MONOCULAR tracking (bisected on the 240-frame
+    orbit: 115-220/240 frames tracked with the jit vs 239/240 without,
+    across every commit combination tried; isolated eager-vs-jit outputs
+    are bitwise-comparable, so the mechanism is frame-timing interaction
+    with the pipelined mapper, not math). Revisit only with the orbit
+    e2e as the gate."""
     from c_orb_slam_tpu.geometry import so3
 
     vel = se3.compose(T_prev, se3.inverse(T_prev2))
@@ -1086,7 +1091,7 @@ class Tracking:
             last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = jax.device_put(
                 (self.last_mp.astype(np.int32), pts_pad, vo_xyz, vo_valid)
             )
-            T_pred_d = _chain_predict(self._chain[0], self._chain[1], frac=frac)
+            T_pred_d = _chain_predict(self._chain[0], self._chain[1], frac)
             prev_pose_d = self._chain[0]
         else:
             T_pred_d, prev_pose_d, last_mp_d, local_idx_d, vo_xyz_d, vo_valid_d = (
